@@ -1,0 +1,67 @@
+"""fpcr_tpu — TPU-native point-cloud registration (fast-point-cloud-registration_tpu).
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
+``Carlos310197/Fast-Point-Cloud-Registration-with-GPUs`` (CUDA ICP thesis
+code, mounted read-only at /root/reference): point-to-point and
+point-to-plane ICP, brute-force NN matching as a tiled MXU kernel, kNN + PCA
+normal estimation with an on-device closed-form 3x3 eigensolver, synthetic /
+Stanford-Bunny / Ouster-OS1-16 datasets, a jitted convergence-gated ICP loop,
+and multi-chip scaling via shard_map + ICI psum of moment matrices.
+
+See SURVEY.md for the structural map of the reference and BASELINE.md for the
+performance contract.
+"""
+
+__version__ = "0.1.0"
+
+from .core.transforms import (
+    RigidTransform,
+    gt_transform,
+    rotation_gt,
+    rotation_x,
+    rotation_y,
+    rotation_z,
+    rotation_zyx,
+)
+from .core.cloud import MaskedCloud, pad_cloud
+from .core.metrics import rmse, transform_rmse
+from .models.icp import (
+    ICPConfig,
+    ICPResult,
+    icp_iteration,
+    icp_point_to_plane,
+    icp_point_to_point,
+    run_icp,
+)
+from .ops.matching import gather_correspondences, nn_argmin, pairwise_sqdist
+from .ops.solve import kabsch_transform, point_to_plane_transform
+from .data.synthetic import RegistrationScene, surface_grid, synthetic_scene, transformed_scene
+
+__all__ = [
+    "RigidTransform",
+    "MaskedCloud",
+    "ICPConfig",
+    "ICPResult",
+    "RegistrationScene",
+    "gt_transform",
+    "rotation_gt",
+    "rotation_x",
+    "rotation_y",
+    "rotation_z",
+    "rotation_zyx",
+    "pad_cloud",
+    "rmse",
+    "transform_rmse",
+    "icp_iteration",
+    "icp_point_to_plane",
+    "icp_point_to_point",
+    "run_icp",
+    "nn_argmin",
+    "gather_correspondences",
+    "pairwise_sqdist",
+    "kabsch_transform",
+    "point_to_plane_transform",
+    "surface_grid",
+    "synthetic_scene",
+    "transformed_scene",
+]

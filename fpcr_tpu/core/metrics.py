@@ -1,0 +1,56 @@
+"""Registration error metrics.
+
+The reference's per-iteration error is the Frobenius RMS of the residual
+between the transformed source and its matched target points:
+``E = ||p - q_idx||_F / sqrt(N)``
+(/root/reference/src/CUDA/ICP_point_to_point_clean.cu:446-456 — cublasScopy +
+Saxpy(-1) + Snrm2, divided by sqrt(N)). Note the point-to-plane driver reports
+this same *point* metric (/root/reference/src/CUDA/ICP_point_to_plane_clean.cu:684-688).
+
+All metrics are mask-aware and optionally ``psum`` over a mesh axis so the
+identical code runs single-chip and sharded (shard_map) without modification.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def masked_count(mask: Optional[jnp.ndarray], n: int, dtype, axis_name=None):
+    if mask is None:
+        return _psum(jnp.asarray(n, dtype=dtype), axis_name)
+    return _psum(jnp.sum(mask.astype(dtype)), axis_name)
+
+
+def rmse(
+    p: jnp.ndarray,
+    q: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """RMS registration error between paired clouds ``[N, 3]``.
+
+    ``sqrt(sum_i ||p_i - q_i||^2 / N_valid)`` — identical to the reference's
+    ``Snrm2 / sqrt(N)`` when ``mask`` is None.
+    """
+    diff = p - q
+    sq = jnp.sum(diff * diff, axis=-1)
+    if mask is not None:
+        sq = jnp.where(mask, sq, 0.0)
+    total = _psum(jnp.sum(sq), axis_name)
+    count = masked_count(mask, p.shape[0], p.dtype, axis_name)
+    return jnp.sqrt(total / jnp.maximum(count, 1.0))
+
+
+def transform_rmse(t_est, t_ref, probe_points: jnp.ndarray) -> jnp.ndarray:
+    """RMS discrepancy of two transforms measured on probe points — the parity
+    measure used to compare against the CUDA reference (BASELINE.md: transform
+    parity 1e-5 on Bunny / hall scan)."""
+    return rmse(t_est.apply(probe_points), t_ref.apply(probe_points))
