@@ -42,6 +42,7 @@ from jax import lax
 from ..core.metrics import rmse
 from ..core.transforms import RigidTransform
 from ..ops.matching import gather_correspondences, nn_argmin
+from ..ops.normals import estimate_normals
 from ..ops.solve import kabsch_transform, point_to_plane_transform
 
 
@@ -159,8 +160,6 @@ def _run_icp(
     tol = jnp.float32(config.tolerance)
 
     if config.metric == "plane" and target_normals is None:
-        from ..ops.normals import estimate_normals
-
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
             chunk=config.source_chunk, tile=config.target_tile,

@@ -24,8 +24,11 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-_FALLBACK = jnp.array([1.0, 1.0, 1.0]) / jnp.sqrt(3.0)
+# numpy (not jnp) constant: a module-level jnp op would run inside whatever
+# trace first imports this module and leak a tracer into later traces.
+_FALLBACK = np.array([1.0, 1.0, 1.0], dtype=np.float32) / np.sqrt(3.0)
 
 
 def eigvals3(A: jnp.ndarray) -> jnp.ndarray:
@@ -76,7 +79,7 @@ def _unit_eigenvector(A: jnp.ndarray, lam: jnp.ndarray, eps: float) -> jnp.ndarr
     n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
     good = n[..., 0] > eps
     v_unit = v / jnp.where(n > 0, n, 1.0)
-    fb = _FALLBACK.astype(A.dtype)
+    fb = jnp.asarray(_FALLBACK, dtype=A.dtype)
     return jnp.where(good[..., None], v_unit, fb)
 
 

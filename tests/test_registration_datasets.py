@@ -1,0 +1,47 @@
+"""The parity contract (BASELINE.md): GT recovery on Bunny and the hall scan."""
+
+import numpy as np
+import pytest
+
+import fpcr_tpu as f
+from fpcr_tpu.data.bunny import bunny_scene
+from fpcr_tpu.data.ouster import hall_scene
+
+
+def test_bunny_point_to_point_recovery():
+    """Reference workload: Bunny_res + GT t=(0.01,-0.04,0.02),
+    r=(0.15,-0.1,0.05), 40 iterations cap
+    (/root/reference/src/CUDA/GPU_point_to_point_bunny.cu)."""
+    scene = bunny_scene()
+    res = f.icp_point_to_point(scene.source, scene.target,
+                               config=f.ICPConfig(max_iterations=40))
+    rmse = float(f.transform_rmse(res.transform, scene.ground_truth, scene.source))
+    assert rmse < 1e-5, rmse
+
+
+def test_bunny_point_to_plane_recovery():
+    scene = bunny_scene()
+    res = f.icp_point_to_plane(scene.source, scene.target,
+                               config=f.ICPConfig(metric="plane", max_iterations=40))
+    rmse = float(f.transform_rmse(res.transform, scene.ground_truth, scene.source))
+    assert rmse < 1e-5, rmse
+
+
+@pytest.mark.slow
+def test_hall_scan_point_to_plane_recovery():
+    """Reference flagship: Ouster hall scan, plane metric, cap 100
+    (/root/reference/src/CUDA/GPU_point_to_plane_real.cu)."""
+    scene = hall_scene()
+    res = f.icp_point_to_plane(scene.source, scene.target,
+                               config=f.ICPConfig(metric="plane", max_iterations=100))
+    rmse = float(f.transform_rmse(res.transform, scene.ground_truth, scene.source))
+    assert rmse < 1e-4, rmse
+
+
+@pytest.mark.slow
+def test_hall_scan_point_to_point_recovery():
+    scene = hall_scene()
+    res = f.icp_point_to_point(scene.source, scene.target,
+                               config=f.ICPConfig(max_iterations=100))
+    rmse = float(f.transform_rmse(res.transform, scene.ground_truth, scene.source))
+    assert rmse < 1e-4, rmse
