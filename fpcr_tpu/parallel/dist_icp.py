@@ -1,0 +1,137 @@
+"""Multi-chip ICP: source points sharded over a device mesh, moments psum'd
+over ICI.
+
+The reference is strictly single-GPU (SURVEY.md §2.4: no NCCL/MPI/multi-
+process anywhere); this module is the scaling design the TPU rebuild adds:
+
+* the source cloud is sharded along a ``points`` mesh axis (pure data
+  parallelism over points — the natural axis since every ICP reduction is a
+  sum over source points);
+* the target cloud (and its normals) are replicated, so each shard's
+  brute-force argmin already produces *global* target indices;
+* the tiny per-iteration moments — 3-vector centroids, 3x3 cross-covariance,
+  6x6 C / 6-vector b, squared-error scalars — are ``lax.psum``'d across the
+  axis (these few hundred bytes are the *only* per-iteration ICI traffic);
+* every shard then solves the identical 3x3 SVD / 6x6 Cholesky and applies
+  the identical update, so the loop state stays replicated by construction.
+
+The same ``fpcr_tpu.models.icp`` loop runs unmodified: all its reductions
+take ``axis_name``. This file just wires it into ``shard_map``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.cloud import round_up
+from ..models.icp import ICPConfig, ICPResult, _run_icp
+
+AXIS = "points"
+
+try:  # JAX >= 0.5 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` devices (all by default)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _pad_shardable(points: jnp.ndarray, shards: int):
+    """Pad to a multiple of ``shards`` and return (padded, mask)."""
+    n = points.shape[0]
+    cap = round_up(n, shards)
+    if cap != n:
+        points = jnp.pad(points, ((0, cap - n), (0, 0)))
+    mask = jnp.arange(cap) < n
+    return points, mask
+
+
+def distributed_icp(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    config: ICPConfig = ICPConfig(),
+    mesh: Optional[Mesh] = None,
+    target_normals: Optional[jnp.ndarray] = None,
+    target_mask: Optional[jnp.ndarray] = None,
+) -> ICPResult:
+    """Run the full convergence-gated ICP loop with the source sharded over
+    the mesh. Returns a replicated ICPResult whose ``points`` output is the
+    (unpadded) transformed source.
+
+    Matches single-device ``run_icp`` numerically up to reduction order.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    shards = mesh.devices.size
+    n = source.shape[0]
+    source_p, source_mask = _pad_shardable(source.astype(jnp.float32), shards)
+
+    if config.metric == "plane" and target_normals is None:
+        # Normals prepass on the replicated target (each shard would compute
+        # the same thing; do it once up front).
+        from ..ops.normals import estimate_normals
+
+        target_normals = estimate_normals(
+            target, k=config.k_neighbors, mask=target_mask,
+            chunk=config.source_chunk, tile=config.target_tile,
+        )
+
+    has_normals = target_normals is not None
+    has_tmask = target_mask is not None
+
+    def shard_fn(src, smask, tgt, tnorm, tmask):
+        return _run_icp(
+            src, tgt, config,
+            source_mask=smask,
+            target_mask=tmask if has_tmask else None,
+            target_normals=tnorm if has_normals else None,
+            axis_name=AXIS,
+        )
+
+    in_specs = (
+        P(AXIS, None),  # source shard
+        P(AXIS),        # source mask shard
+        P(),            # target replicated
+        P() if has_normals else P(),
+        P() if has_tmask else P(),
+    )
+    from ..core.transforms import RigidTransform
+
+    out_specs = ICPResult(
+        transform=RigidTransform(rotation=P(), translation=P()),
+        errors=P(),
+        num_iterations=P(),
+        converged=P(),
+        points=P(AXIS, None),
+    )
+
+    try:
+        fn = shard_map(
+            shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # older shard_map signature
+        fn = shard_map(
+            shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+    # dummies keep the pytree structure static when optional inputs are absent
+    tnorm_in = target_normals if has_normals else jnp.zeros((1, 3), jnp.float32)
+    tmask_in = target_mask if has_tmask else jnp.zeros((1,), bool)
+    result = jax.jit(fn)(source_p, source_mask, target.astype(jnp.float32),
+                         tnorm_in, tmask_in)
+    return result._replace(points=result.points[:n])

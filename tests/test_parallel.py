@@ -1,0 +1,64 @@
+"""Multi-chip ICP on the virtual 8-device CPU mesh: parity vs single device."""
+
+import jax
+import numpy as np
+import pytest
+
+import fpcr_tpu as f
+from fpcr_tpu.parallel.dist_icp import distributed_icp, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should force 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_mesh_creation(mesh8):
+    assert mesh8.devices.size == 8
+    assert mesh8.axis_names == ("points",)
+
+
+def test_distributed_p2p_matches_single_device(mesh8):
+    scene = f.synthetic_scene(width=32)
+    cfg = f.ICPConfig(max_iterations=60)
+    single = f.run_icp(scene.source, scene.target, cfg)
+    dist = distributed_icp(scene.source, scene.target, cfg, mesh=mesh8)
+    assert int(dist.num_iterations) == int(single.num_iterations)
+    np.testing.assert_allclose(
+        np.asarray(dist.transform.rotation),
+        np.asarray(single.transform.rotation), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.transform.translation),
+        np.asarray(single.transform.translation), atol=1e-5,
+    )
+    assert float(f.transform_rmse(dist.transform, scene.ground_truth, scene.source)) < 1e-5
+
+
+def test_distributed_handles_non_divisible_n(mesh8):
+    """N not a multiple of the shard count → padded + masked internally."""
+    rng = np.random.default_rng(9)
+    src = rng.uniform(-1, 1, size=(1003, 3)).astype(np.float32)  # prime-ish
+    gt = f.gt_transform((0.05, -0.02, 0.04), (0.04, 0.02, -0.03))
+    import jax.numpy as jnp
+
+    tgt = gt.apply(jnp.asarray(src))
+    dist = distributed_icp(jnp.asarray(src), tgt, f.ICPConfig(max_iterations=40), mesh=mesh8)
+    assert float(f.transform_rmse(dist.transform, gt, jnp.asarray(src))) < 1e-4
+    assert dist.points.shape == (1003, 3)
+
+
+def test_distributed_plane_metric(mesh8):
+    scene = f.synthetic_scene(width=24)
+    cfg = f.ICPConfig(metric="plane", max_iterations=40)
+    dist = distributed_icp(scene.source, scene.target, cfg, mesh=mesh8)
+    assert float(f.transform_rmse(dist.transform, scene.ground_truth, scene.source)) < 1e-4
+
+
+def test_distributed_smaller_mesh():
+    mesh2 = make_mesh(2)
+    scene = f.synthetic_scene(width=16)
+    dist = distributed_icp(scene.source, scene.target,
+                           f.ICPConfig(max_iterations=40), mesh=mesh2)
+    assert float(f.transform_rmse(dist.transform, scene.ground_truth, scene.source)) < 1e-4
