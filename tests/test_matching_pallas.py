@@ -1,0 +1,79 @@
+"""Pallas matching kernel vs the XLA path and numpy (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fpcr_tpu.ops.matching import nn_argmin
+from fpcr_tpu.ops.matching_pallas import nn_argmin_pallas
+
+
+def np_nn(p, q):
+    d = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    return d.argmin(1), d.min(1)
+
+
+@pytest.fixture
+def clouds():
+    rng = np.random.default_rng(77)
+    p = rng.uniform(-2, 2, size=(300, 3)).astype(np.float32)
+    q = rng.uniform(-2, 2, size=(500, 3)).astype(np.float32)
+    return p, q
+
+
+def test_pallas_matches_numpy(clouds):
+    p, q = clouds
+    idx, d = nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q),
+                              block_n=64, block_m=128)
+    ref_idx, ref_d = np_nn(p, q)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(d), ref_d, atol=1e-3)
+
+
+def test_pallas_matches_xla_path(clouds):
+    p, q = clouds
+    idx_p, _ = nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q),
+                                block_n=64, block_m=128)
+    idx_x, _ = nn_argmin(jnp.asarray(p), jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+
+
+def test_pallas_target_mask(clouds):
+    p, q = clouds
+    mask = np.ones(q.shape[0], bool)
+    mask[200:] = False
+    idx, d = nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q), jnp.asarray(mask),
+                              block_n=64, block_m=128)
+    ref_idx, ref_d = np_nn(p, q[:200])
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(d), ref_d, atol=1e-3)
+
+
+def test_pallas_tie_break_first_min():
+    p = jnp.asarray([[0.0, 0.0, 0.0]], dtype=jnp.float32)
+    q = jnp.asarray([[5, 0, 0], [1, 0, 0], [2, 0, 0], [1, 0, 0]], dtype=jnp.float32)
+    idx, _ = nn_argmin_pallas(p, q, block_n=8, block_m=128)
+    assert int(idx[0]) == 1
+
+
+def test_pallas_odd_sizes():
+    """Non-multiple-of-block sizes pad correctly."""
+    rng = np.random.default_rng(78)
+    p = rng.uniform(-1, 1, size=(131, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, size=(259, 3)).astype(np.float32)
+    idx, d = nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q),
+                              block_n=64, block_m=128)
+    ref_idx, _ = np_nn(p, q)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_pallas_in_icp_loop():
+    """matcher='pallas' end-to-end via the config switch."""
+    import fpcr_tpu as f
+
+    scene = f.synthetic_scene(width=16)
+    res = f.icp_point_to_point(
+        scene.source, scene.target,
+        config=f.ICPConfig(max_iterations=60, matcher="pallas"),
+    )
+    assert float(f.transform_rmse(res.transform, scene.ground_truth, scene.source)) < 1e-4
