@@ -2,16 +2,22 @@
 
 Reference baseline (BASELINE.md): 6.4944 ms per ICP iteration at N=16,384 on
 an RTX 2060 (src/CUDA/csv_files/GPU_ICP_point_to_point_TimeComp.csv), the
-reference's own headline number. This script times the same workload — full
+reference's own headline number. This times the same workload — full ICP
 iterations (matching + Kabsch solve + transform + error) on the synthetic
-128x128 z=x²-y² scene — on the TPU chip and prints ONE JSON line:
+128x128 z=x²-y² scene — and prints ONE JSON line:
 
     {"metric": ..., "value": <ms/iter>, "unit": "ms",
      "vs_baseline": <value / 6.4944>}   # < 1.0 means faster than the ref GPU
 
-Timing policy mirrors the reference's microbenches: fixed iteration count
-compiled as one program (tolerance=0 disables early exit), min over repeats
-(Matching_opt.cu:213-226 uses min-of-10).
+Measurement notes (this environment):
+  * the axon TPU tunnel memoizes identical executions server-side, so every
+    timed run perturbs the inputs (same epsilon added to source AND target —
+    an identical registration problem, different bits);
+  * each device call carries ~25 ms of tunnel RPC overhead, so the
+    per-iteration cost is the SLOPE between a short and a long run
+    (ms/iter = (T(hi) - T(lo)) / (hi - lo)), min-of-k each — the same
+    fixed-cost elimination the reference's min-of-10 policy aims at
+    (Matching_opt.cu:213-226).
 """
 
 from __future__ import annotations
@@ -24,53 +30,80 @@ import time
 BASELINE_MS_PER_ITER_16384 = 6.4944  # RTX 2060, reference CSV
 
 
+def _timed_run(run, src, tgt, eps, repeats):
+    import jax
+
+    times = []
+    for r in range(repeats):
+        s = src + eps * (r + 1)
+        t = tgt + eps * (r + 1)
+        jax.block_until_ready((s, t))
+        float(s[0, 0])  # real sync (see below)
+        t0 = time.perf_counter()
+        res = run(s, t)
+        # force a real device->host sync: through the axon tunnel,
+        # block_until_ready returns at enqueue time, not completion.
+        float(res.errors[-1])
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--width", type=int, default=128, help="grid width (N=width²)")
-    parser.add_argument("--iters", type=int, default=20, help="ICP iterations per run")
+    parser.add_argument("--lo", type=int, default=10, help="short run iterations")
+    parser.add_argument("--hi", type=int, default=60, help="long run iterations")
     parser.add_argument("--repeats", type=int, default=5, help="timed repeats (min taken)")
+    parser.add_argument("--matcher", default="xla", choices=["xla", "pallas"])
     args = parser.parse_args()
-    if args.width < 2 or args.iters < 1 or args.repeats < 1:
-        parser.error("--width must be >= 2, --iters/--repeats >= 1")
+    if args.width < 2 or args.repeats < 1 or args.hi <= args.lo:
+        parser.error("need width>=2, repeats>=1, hi>lo")
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    import numpy as np
+
     import fpcr_tpu as f
 
     n = args.width * args.width
     scene = f.synthetic_scene(width=args.width)
-    # tolerance=0 → the loop never converges early → exactly `iters` iterations,
-    # so wall/iters is the true steady-state per-iteration cost.
-    config = f.ICPConfig(max_iterations=args.iters, tolerance=0.0)
-
     source = jax.device_put(scene.source)
     target = jax.device_put(scene.target)
+    eps = np.float32(1e-7)
 
-    # compile + warm up
-    res = f.run_icp(source, target, config)
-    jax.block_until_ready(res.errors)
+    def make_run(iters):
+        # tolerance=0 → no early exit → exactly `iters` iterations
+        cfg = f.ICPConfig(max_iterations=iters, tolerance=0.0,
+                          matcher=args.matcher)
+        def run(s, t):
+            return f.run_icp(s, t, cfg)
+        # compile + warm
+        jax.block_until_ready(run(source, target).errors)
+        return run
 
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        res = f.run_icp(source, target, config)
-        jax.block_until_ready(res.errors)
-        times.append(time.perf_counter() - t0)
+    run_lo = make_run(args.lo)
+    run_hi = make_run(args.hi)
+    t_lo = _timed_run(run_lo, source, target, eps, args.repeats)
+    t_hi = _timed_run(run_hi, source, target, eps, args.repeats)
 
-    ms_per_iter = min(times) * 1e3 / args.iters
+    ms_per_iter = (t_hi - t_lo) * 1e3 / (args.hi - args.lo)
     platform = jax.devices()[0].platform
 
+    res = run_hi(source, target)
     details = {
         "platform": platform,
         "n_points": n,
-        "iters": args.iters,
-        "repeats": args.repeats,
-        "all_ms_per_iter": [t * 1e3 / args.iters for t in times],
-        "final_error": float(res.errors[args.iters - 1]),
+        "matcher": args.matcher,
+        "lo_iters": args.lo,
+        "hi_iters": args.hi,
+        "t_lo_ms": t_lo * 1e3,
+        "t_hi_ms": t_hi * 1e3,
+        "overhead_ms_estimate": t_lo * 1e3 - args.lo * ms_per_iter,
+        "final_error_hi": float(res.errors[args.hi - 1]),
         "baseline": {
             "ms_per_iter": BASELINE_MS_PER_ITER_16384,
             "hardware": "RTX 2060",

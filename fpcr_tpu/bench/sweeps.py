@@ -1,0 +1,88 @@
+"""Benchmark sweeps reproducing the reference's performance studies.
+
+* ``time_complexity_sweep`` — one ICP iteration per cloud size over a width
+  range, the reference's L5 harness
+  (/root/reference/src/CUDA/GPU_time_complexity_point.cu:103-460: WIDTH
+  3..128, MAX_ITER 1, "N,ms" CSV; plane variant GPU_time_complexity_plane.cu).
+* ``matching_benchmark`` — the matching-kernel microbenchmark ladder
+  (/root/reference/src/CUDA/Matching_opt.cu:58-243, min-of-10 policy), with
+  this framework's variants: XLA matmul-form, XLA exact-form, Pallas kernel.
+
+Both return rows and optionally emit reference-format CSVs via
+``fpcr_tpu.utils.csvout``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+
+from ..data.synthetic import synthetic_scene
+from ..models.icp import ICPConfig, run_icp
+from ..utils.csvout import write_rows
+from ..utils.timing import benchmark
+
+# Reference sweep bounds (GPU_time_complexity_point.cu:110 — WIDTH 3..128)
+DEFAULT_WIDTHS = tuple(range(3, 129))
+
+
+def time_complexity_sweep(
+    metric: str = "point",
+    widths: Sequence[int] = DEFAULT_WIDTHS,
+    iterations: int = 1,
+    repeats: int = 3,
+    matcher: str = "xla",
+    csv_path: Optional[str] = None,
+) -> List[Tuple[int, float]]:
+    """Time ``iterations`` ICP iterations at each width; returns
+    ``[(n_points, ms_per_iter), ...]`` (min over repeats)."""
+    rows: List[Tuple[int, float]] = []
+    for width in widths:
+        scene = synthetic_scene(width=width)
+        config = ICPConfig(
+            metric=metric, max_iterations=iterations, tolerance=0.0,
+            matcher=matcher,
+        )
+        stats = benchmark(
+            lambda s=scene, c=config: run_icp(s.source, s.target, c).errors,
+            repeats=repeats, warmup=1,
+        )
+        rows.append((width * width, stats["min"] * 1e3 / iterations))
+    if csv_path:
+        write_rows(csv_path, rows)
+    return rows
+
+
+def matching_benchmark(
+    n: int = 16384,
+    repeats: int = 10,
+    variants: Iterable[str] = ("xla", "xla_exact", "pallas"),
+    csv_path: Optional[str] = None,
+) -> dict:
+    """Min-of-``repeats`` matching-kernel times (ms) at N=M=``n`` for each
+    implementation variant. Reference ladder results in BASELINE.md §matching
+    (best CUDA variant: 2.297 ms @ 16,384 on RTX 2060)."""
+    import math
+
+    from ..ops.matching import nn_argmin
+    from ..ops.matching_pallas import nn_argmin_pallas
+
+    width = int(math.isqrt(n))
+    scene = synthetic_scene(width=width)
+    p, q = scene.source, scene.target
+    actual_n = p.shape[0]
+
+    impls = {
+        "xla": lambda: nn_argmin(p, q)[0],
+        "xla_exact": lambda: nn_argmin(p, q, exact=True)[0],
+        "pallas": lambda: nn_argmin_pallas(p, q)[0],
+    }
+    results = {"n": actual_n}
+    for name in variants:
+        stats = benchmark(impls[name], repeats=repeats, warmup=2)
+        results[name] = stats["min"] * 1e3
+    if csv_path:
+        write_rows(csv_path, [(actual_n, results[v]) for v in variants if v in results],
+                   header=["n", "ms"])
+    return results

@@ -1,0 +1,219 @@
+"""Command-line interface — the runtime equivalent of the reference's ~20
+per-variant ``main()`` executables, collapsed into one configurable driver.
+
+Every reference compile-time ``#define`` (dataset, metric, MAX_ITER,
+tolerance, k) is a flag here (SURVEY.md §5 'Config / flag system').
+
+Examples:
+    python -m fpcr_tpu.cli run --dataset synthetic --width 128 --metric point
+    python -m fpcr_tpu.cli run --dataset bunny --metric plane --profile
+    python -m fpcr_tpu.cli sweep --metric point --widths 3:128 --csv out.csv
+    python -m fpcr_tpu.cli match-bench --n 16384
+    python -m fpcr_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _maybe_force_cpu(args) -> None:
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _cmd_run(args) -> int:
+    _maybe_force_cpu(args)
+    import jax
+    import numpy as np
+
+    import fpcr_tpu as f
+
+    if args.dataset == "synthetic":
+        scene = f.synthetic_scene(width=args.width)
+    elif args.dataset == "bunny":
+        from .data.bunny import bunny_scene
+
+        scene = bunny_scene(resampled=True)
+    elif args.dataset == "bunny-full":
+        from .data.bunny import bunny_scene
+
+        scene = bunny_scene(resampled=False)
+    elif args.dataset == "hall":
+        from .data.ouster import hall_scene
+
+        scene = hall_scene()
+    else:  # pragma: no cover
+        raise SystemExit(f"unknown dataset {args.dataset}")
+
+    config = f.ICPConfig(
+        metric=args.metric,
+        max_iterations=args.max_iter,
+        tolerance=args.tol,
+        k_neighbors=args.k,
+        solver=args.solver,
+        matcher=args.matcher,
+        strict_reference=args.strict_reference,
+        max_correspondence_dist=args.trim_dist,
+    )
+
+    if args.profile:
+        from .utils.timing import profile_icp
+
+        timer = profile_icp(scene.source, scene.target, config,
+                            iterations=args.profile_iters)
+        print(timer.report())
+        return 0
+
+    if args.distributed:
+        from .parallel.dist_icp import distributed_icp
+
+        t0 = time.perf_counter()
+        res = distributed_icp(scene.source, scene.target, config)
+    else:
+        t0 = time.perf_counter()
+        res = f.run_icp(scene.source, scene.target, config)
+    jax.block_until_ready(res.errors)
+    wall = time.perf_counter() - t0
+
+    ni = int(res.num_iterations)
+    errors = np.asarray(res.errors)[:ni]
+    rmse_gt = float(f.transform_rmse(res.transform, scene.ground_truth, scene.source))
+
+    payload = {
+        "dataset": args.dataset,
+        "metric": args.metric,
+        "n_source": int(scene.source.shape[0]),
+        "iterations": ni,
+        "converged": bool(res.converged),
+        "errors": [float(e) for e in errors],
+        "final_error": float(errors[-1]) if ni else None,
+        "transform_rmse_vs_gt": rmse_gt,
+        "rotation": np.asarray(res.transform.rotation).tolist(),
+        "translation": np.asarray(res.transform.translation).tolist(),
+        "wall_seconds": wall,
+        "platform": jax.devices()[0].platform,
+    }
+    if args.json:
+        print(json.dumps(payload, indent=2))
+    else:
+        print(f"dataset={args.dataset} metric={args.metric} "
+              f"N={payload['n_source']} platform={payload['platform']}")
+        print(f"iterations={ni} converged={payload['converged']} "
+              f"wall={wall:.3f}s")
+        print("error sequence:")
+        for i, e in enumerate(errors):
+            print(f"  iter {i:3d}: {e:.6e}")
+        print(f"transform RMSE vs ground truth: {rmse_gt:.3e}")
+    if args.output:
+        from .utils.csvout import write_json
+
+        write_json(args.output, payload)
+    return 0
+
+
+def _cmd_sweep(args) -> int:
+    _maybe_force_cpu(args)
+    from .bench.sweeps import time_complexity_sweep
+
+    lo, hi = (int(x) for x in args.widths.split(":"))
+    rows = time_complexity_sweep(
+        metric=args.metric,
+        widths=range(lo, hi + 1),
+        iterations=args.iters,
+        repeats=args.repeats,
+        matcher=args.matcher,
+        csv_path=args.csv,
+    )
+    for n, ms in rows:
+        print(f"{n},{ms:.6f}")
+    return 0
+
+
+def _cmd_match_bench(args) -> int:
+    _maybe_force_cpu(args)
+    from .bench.sweeps import matching_benchmark
+
+    results = matching_benchmark(n=args.n, repeats=args.repeats,
+                                 csv_path=args.csv)
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+def _cmd_info(args) -> int:
+    _maybe_force_cpu(args)
+    import jax
+
+    devs = jax.devices()
+    print(f"platform: {devs[0].platform}")
+    print(f"devices: {devs}")
+    print(f"default backend: {jax.default_backend()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="fpcr_tpu",
+                                     description=__doc__.splitlines()[0])
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="register a dataset and print the error sequence")
+    run.add_argument("--dataset", default="synthetic",
+                     choices=["synthetic", "bunny", "bunny-full", "hall"])
+    run.add_argument("--width", type=int, default=128,
+                     help="synthetic grid width (N=width²)")
+    run.add_argument("--metric", default="point", choices=["point", "plane"])
+    run.add_argument("--max-iter", type=int, default=40)
+    run.add_argument("--tol", type=float, default=1e-6)
+    run.add_argument("--k", type=int, default=4, help="normals kNN size")
+    run.add_argument("--solver", default="svd", choices=["svd", "polar"])
+    run.add_argument("--matcher", default="xla", choices=["xla", "pallas"])
+    run.add_argument("--strict-reference", action="store_true",
+                     help="exact reference math (no det(R) correction)")
+    run.add_argument("--trim-dist", type=float, default=None,
+                     help="max correspondence distance (robust/trimmed ICP)")
+    run.add_argument("--distributed", action="store_true",
+                     help="shard source points over all devices")
+    run.add_argument("--profile", action="store_true",
+                     help="per-phase timing breakdown instead of a result")
+    run.add_argument("--profile-iters", type=int, default=5)
+    run.add_argument("--json", action="store_true")
+    run.add_argument("--output", default=None, help="write result JSON here")
+    _add_common(run)
+    run.set_defaults(fn=_cmd_run)
+
+    sweep = sub.add_parser("sweep", help="time-complexity sweep (reference L5 harness)")
+    sweep.add_argument("--metric", default="point", choices=["point", "plane"])
+    sweep.add_argument("--widths", default="3:128", help="lo:hi grid widths")
+    sweep.add_argument("--iters", type=int, default=1)
+    sweep.add_argument("--repeats", type=int, default=3)
+    sweep.add_argument("--matcher", default="xla", choices=["xla", "pallas"])
+    sweep.add_argument("--csv", default=None)
+    _add_common(sweep)
+    sweep.set_defaults(fn=_cmd_sweep)
+
+    mb = sub.add_parser("match-bench", help="matching-kernel microbenchmark")
+    mb.add_argument("--n", type=int, default=16384)
+    mb.add_argument("--repeats", type=int, default=10)
+    mb.add_argument("--csv", default=None)
+    _add_common(mb)
+    mb.set_defaults(fn=_cmd_match_bench)
+
+    info = sub.add_parser("info", help="backend info")
+    _add_common(info)
+    info.set_defaults(fn=_cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,7 +60,11 @@ class RigidTransform(NamedTuple):
 
     def inverse(self) -> "RigidTransform":
         rt = self.rotation.T
-        return RigidTransform(rotation=rt, translation=-(rt @ self.translation))
+        return RigidTransform(
+            rotation=rt,
+            translation=-jnp.matmul(rt, self.translation,
+                                    precision=jax.lax.Precision.HIGHEST),
+        )
 
     @staticmethod
     def identity(dtype=jnp.float32) -> "RigidTransform":

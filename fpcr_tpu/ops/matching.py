@@ -37,7 +37,9 @@ from jax import lax
 
 from ..core.cloud import round_up
 
-_BIG = jnp.float32(jnp.inf)
+# plain python float: a module-level jnp scalar would eagerly
+# initialize the backend (and could leak a tracer) at import time.
+_BIG = float("inf")
 
 
 def pairwise_sqdist(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:

@@ -35,7 +35,9 @@ from ..core.cloud import round_up
 from .eigh3 import smallest_eigenvector
 from .matching import _pad_to, pairwise_sqdist, pairwise_sqdist_exact
 
-_BIG = jnp.float32(jnp.inf)
+# plain python float: a module-level jnp scalar would eagerly
+# initialize the backend (and could leak a tracer) at import time.
+_BIG = float("inf")
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "tile", "exact"))

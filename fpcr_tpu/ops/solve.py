@@ -80,13 +80,14 @@ def cross_covariance(
 def rotation_from_svd(W: jnp.ndarray, det_correction: bool = True) -> jnp.ndarray:
     """Kabsch rotation ``R = U·Vᵀ`` from the 3x3 cross-covariance, with the
     optional det(R)=+1 reflection fix the reference lacks."""
+    hi = jax.lax.Precision.HIGHEST
     U, _, Vt = jnp.linalg.svd(W, full_matrices=False)
-    R = U @ Vt
+    R = jnp.matmul(U, Vt, precision=hi)
     if det_correction:
         d = jnp.sign(jnp.linalg.det(R))
         # flip the singular direction with the smallest singular value (last)
         U_fix = U.at[:, 2].multiply(d)
-        R = U_fix @ Vt
+        R = jnp.matmul(U_fix, Vt, precision=hi)
     return R
 
 
@@ -98,9 +99,11 @@ def rotation_polar_newton_schulz(W: jnp.ndarray, iterations: int = 16) -> jnp.nd
     norm = jnp.sqrt(jnp.sum(W * W)) + 1e-30
     X = W / norm
 
+    hi = jax.lax.Precision.HIGHEST
+
     def body(_, X):
-        XtX = X.T @ X
-        return 1.5 * X - 0.5 * (X @ XtX)
+        XtX = jnp.matmul(X.T, X, precision=hi)
+        return 1.5 * X - 0.5 * jnp.matmul(X, XtX, precision=hi)
 
     return jax.lax.fori_loop(0, iterations, body, X)
 
@@ -128,7 +131,7 @@ def kabsch_transform(
         R = rotation_polar_newton_schulz(W)
     else:
         raise ValueError(f"unknown solver {solver!r}")
-    t = q_bar - R @ p_bar
+    t = q_bar - jnp.matmul(R, p_bar, precision=jax.lax.Precision.HIGHEST)
     return RigidTransform(R, t)
 
 

@@ -1,0 +1,37 @@
+"""CSV benchmark-result emitters, format-compatible with the reference's
+``NUM_POINTS,TIME`` files (/root/reference/src/CUDA/GPU_time_complexity_point.cu:108-110,451;
+``Matching_opt.cu:64-65,229``) so new-vs-reference curves plot directly."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterable, Mapping, Optional, Sequence, Union
+
+
+def write_rows(
+    path: Union[str, Path],
+    rows: Iterable[Sequence],
+    header: Optional[Sequence[str]] = None,
+) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with path.open("w") as fh:
+        if header:
+            fh.write(",".join(str(h) for h in header) + "\n")
+        for row in rows:
+            fh.write(",".join(_fmt(v) for v in row) + "\n")
+    return path
+
+
+def _fmt(v) -> str:
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    return str(v)
+
+
+def write_json(path: Union[str, Path], payload: Mapping) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(payload, indent=2, default=float) + "\n")
+    return path

@@ -1,0 +1,111 @@
+"""CLI, timing utils, CSV emitters, sweeps."""
+
+import json
+
+import numpy as np
+import pytest
+
+from fpcr_tpu.cli import main as cli_main
+from fpcr_tpu.utils.csvout import write_json, write_rows
+from fpcr_tpu.utils.timing import PhaseTimer, benchmark, profile_icp
+
+
+def test_cli_run_synthetic_json(capsys):
+    rc = cli_main(["run", "--dataset", "synthetic", "--width", "16",
+                   "--max-iter", "30", "--json"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["n_source"] == 256
+    assert payload["converged"]
+    assert payload["transform_rmse_vs_gt"] < 1e-4
+    assert len(payload["errors"]) == payload["iterations"]
+
+
+def test_cli_run_plane_distributed(capsys):
+    rc = cli_main(["run", "--dataset", "synthetic", "--width", "16",
+                   "--metric", "plane", "--distributed", "--json"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["transform_rmse_vs_gt"] < 1e-4
+
+
+def test_cli_run_human_output(capsys):
+    rc = cli_main(["run", "--dataset", "synthetic", "--width", "12",
+                   "--max-iter", "10"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "error sequence:" in out
+    assert "transform RMSE" in out
+
+
+def test_cli_run_output_file(tmp_path, capsys):
+    out = tmp_path / "res.json"
+    rc = cli_main(["run", "--dataset", "synthetic", "--width", "12",
+                   "--max-iter", "5", "--json", "--output", str(out)])
+    assert rc == 0
+    saved = json.loads(out.read_text())
+    assert saved["n_source"] == 144
+
+
+def test_cli_sweep_csv(tmp_path, capsys):
+    csv = tmp_path / "sweep.csv"
+    rc = cli_main(["sweep", "--widths", "3:5", "--repeats", "1", "--csv", str(csv)])
+    assert rc == 0
+    rows = [line.split(",") for line in csv.read_text().strip().splitlines()]
+    assert [int(r[0]) for r in rows] == [9, 16, 25]
+    assert all(float(r[1]) > 0 for r in rows)
+
+
+def test_cli_info(capsys):
+    rc = cli_main(["info"])
+    assert rc == 0
+    assert "platform" in capsys.readouterr().out
+
+
+def test_cli_profile(capsys):
+    rc = cli_main(["run", "--dataset", "synthetic", "--width", "12",
+                   "--profile", "--profile-iters", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "matching" in out and "minimization" in out and "TOTAL" in out
+
+
+def test_phase_timer_report():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    with t.phase("a"):
+        pass
+    rep = t.report()
+    assert "a" in rep and "b" in rep and "TOTAL" in rep
+    assert t.counts["a"] == 2
+
+
+def test_benchmark_runs():
+    import jax.numpy as jnp
+
+    stats = benchmark(lambda: jnp.arange(16.0).sum(), repeats=3, warmup=1)
+    assert stats["min"] <= stats["mean"] <= stats["max"]
+
+
+def test_profile_icp_plane_includes_normals():
+    import fpcr_tpu as f
+
+    scene = f.synthetic_scene(width=12)
+    timer = profile_icp(scene.source, scene.target,
+                        f.ICPConfig(metric="plane"), iterations=2)
+    d = timer.as_dict()
+    assert "normals" in d and "matching" in d
+
+
+def test_write_rows_reference_format(tmp_path):
+    path = write_rows(tmp_path / "t.csv", [(1024, 1.104900), (4096, 2.344100)])
+    lines = path.read_text().strip().splitlines()
+    assert lines[0] == "1024,1.104900"
+
+
+def test_write_json(tmp_path):
+    p = write_json(tmp_path / "x.json", {"a": 1.5})
+    assert json.loads(p.read_text()) == {"a": 1.5}

@@ -1,0 +1,77 @@
+"""Native C++ tokenizers vs the numpy fallback path."""
+
+import numpy as np
+import pytest
+
+from fpcr_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def have_native():
+    if not native.available():
+        pytest.skip("native extension could not be built")
+    return True
+
+
+def test_native_read_xyz_whitespace(tmp_path, have_native):
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(37, 3)).astype(np.float32)
+    p = tmp_path / "pts.csv"
+    p.write_text("\n".join(" ".join(f"{v:.7g}" for v in row) for row in data))
+    got = native.read_xyz(str(p))
+    np.testing.assert_allclose(got, data, rtol=1e-6)
+
+
+def test_native_read_xyz_semicolon(tmp_path, have_native):
+    data = np.array([[1.5, -2.25, 3.0], [0.125, 4.0, -8.5]], np.float32)
+    p = tmp_path / "pts.csv"
+    p.write_text("\n".join(";".join(str(v) for v in row) for row in data))
+    np.testing.assert_allclose(native.read_xyz(str(p)), data)
+
+
+def test_native_read_int_lines(tmp_path, have_native):
+    vals = [130, 224, 245, 0, 65535, 7]
+    p = tmp_path / "ints.csv"
+    p.write_text("\n".join(str(v) for v in vals))
+    np.testing.assert_array_equal(native.read_int_lines(str(p)), vals)
+
+
+def test_native_missing_file(have_native):
+    with pytest.raises(FileNotFoundError):
+        native.read_xyz("/nonexistent/file.csv")
+
+
+def test_native_matches_numpy_on_bunny(have_native):
+    from fpcr_tpu.data.bunny import _parse_xyz_numpy
+    from fpcr_tpu.data.paths import asset
+
+    path = asset("Bunny_res.csv")
+    np.testing.assert_allclose(
+        native.read_xyz(str(path)), _parse_xyz_numpy(path), rtol=1e-6
+    )
+
+
+def test_native_matches_numpy_on_donut(have_native):
+    from fpcr_tpu.data.paths import asset
+
+    path = asset("Donut_1024x16.csv")
+    got = native.read_int_lines(str(path))
+    ref = np.array(path.read_text().split(), dtype=np.int64)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_native_speedup_on_donut(have_native):
+    """The native parser should beat the Python fallback comfortably."""
+    import time
+
+    from fpcr_tpu.data.paths import asset
+
+    path = str(asset("Donut_1024x16.csv"))
+    native.read_int_lines(path)  # warm (build + page cache)
+    t0 = time.perf_counter()
+    native.read_int_lines(path)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.array(open(path).read().split(), dtype=np.int64)
+    t_py = time.perf_counter() - t0
+    assert t_native < t_py
