@@ -33,11 +33,29 @@ from .models.icp import (
     icp_point_to_point,
     run_icp,
 )
+from .models.history import (
+    ICPHistory,
+    load_checkpoint,
+    resume_icp,
+    run_icp_with_history,
+    save_checkpoint,
+)
 from .ops.matching import gather_correspondences, nn_argmin, pairwise_sqdist
 from .ops.solve import kabsch_transform, point_to_plane_transform
 from .data.synthetic import RegistrationScene, surface_grid, synthetic_scene, transformed_scene
+from .data.bunny import bunny_scene, load_bunny
+from .data.ouster import hall_scene, load_hall_scan
 
 __all__ = [
+    "ICPHistory",
+    "run_icp_with_history",
+    "save_checkpoint",
+    "load_checkpoint",
+    "resume_icp",
+    "bunny_scene",
+    "load_bunny",
+    "hall_scene",
+    "load_hall_scan",
     "RigidTransform",
     "MaskedCloud",
     "ICPConfig",

@@ -1,0 +1,168 @@
+"""ICP with full per-iteration history + checkpoint/resume.
+
+The reference's closest artifact is the CPU baseline storing every
+intermediate transformed cloud in ``pt_total`` for post-hoc export
+(/root/reference/src/ICP_CPU.c:196-201,254,409-448). Here the history is a
+first-class, statically-shaped ``lax.scan`` output — per-iteration incremental
+transforms, accumulated transforms and errors — plus simple npz checkpoint
+save/load so a long registration can be resumed or audited.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+from pathlib import Path
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.transforms import RigidTransform
+from .icp import ICPConfig, icp_iteration
+
+
+class ICPHistory(NamedTuple):
+    transform: RigidTransform  # final accumulated transform
+    incremental_rotations: jnp.ndarray  # [T, 3, 3]
+    incremental_translations: jnp.ndarray  # [T, 3]
+    accumulated_rotations: jnp.ndarray  # [T, 3, 3]
+    accumulated_translations: jnp.ndarray  # [T, 3]
+    errors: jnp.ndarray  # [T]
+    active: jnp.ndarray  # [T] bool — iteration actually executed
+    num_iterations: jnp.ndarray
+    converged: jnp.ndarray
+    points: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("config", "axis_name"))
+def run_icp_with_history(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    config: ICPConfig = ICPConfig(),
+    target_normals: Optional[jnp.ndarray] = None,
+    source_mask: Optional[jnp.ndarray] = None,
+    target_mask: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> ICPHistory:
+    """Fixed-trip ``lax.scan`` ICP: convergence is handled by masking
+    (iterations after the stop are no-ops), so every per-iteration artifact
+    has a static shape — jit/vjp/shard_map friendly."""
+    if config.metric == "plane" and target_normals is None:
+        from ..ops.normals import estimate_normals
+
+        target_normals = estimate_normals(
+            target, k=config.k_neighbors, mask=target_mask,
+            chunk=config.source_chunk, tile=config.target_tile,
+        )
+
+    tol = jnp.float32(config.tolerance)
+
+    def step(carry, _):
+        points, acc, prev_e, done = carry
+        new_points, inc, error = icp_iteration(
+            points, target, config,
+            source_mask=source_mask, target_mask=target_mask,
+            target_normals=target_normals, axis_name=axis_name,
+        )
+        # freeze the state once converged (masked no-op iteration)
+        identity = RigidTransform.identity()
+        inc_eff = jax.tree.map(
+            lambda a, b: jnp.where(done, a, b), identity, inc
+        )
+        new_points = jnp.where(done, points, new_points)
+        error = jnp.where(done, prev_e, error)
+        acc_new = inc_eff.compose(acc)
+        now_done = jnp.logical_or(
+            done, jnp.logical_or(error < tol, jnp.abs(error - prev_e) < tol)
+        )
+        out = (inc_eff.rotation, inc_eff.translation,
+               acc_new.rotation, acc_new.translation, error, ~done)
+        return (new_points, acc_new, error, now_done), out
+
+    init = (
+        source.astype(jnp.float32),
+        RigidTransform.identity(),
+        jnp.float32(jnp.inf),
+        jnp.bool_(False),
+    )
+    (points, acc, _, done), outs = lax.scan(
+        step, init, None, length=config.max_iterations
+    )
+    inc_r, inc_t, acc_r, acc_t, errors, active = outs
+    return ICPHistory(
+        transform=acc,
+        incremental_rotations=inc_r,
+        incremental_translations=inc_t,
+        accumulated_rotations=acc_r,
+        accumulated_translations=acc_t,
+        errors=errors,
+        active=active,
+        num_iterations=jnp.sum(active.astype(jnp.int32)),
+        converged=done,
+        points=points,
+    )
+
+
+def save_checkpoint(path: Union[str, Path], history: ICPHistory,
+                    config: ICPConfig) -> Path:
+    """Persist a registration run (npz arrays + json config sidecar)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        path,
+        **{k: np.asarray(v) for k, v in history._asdict().items()
+           if k != "transform"},
+        rotation=np.asarray(history.transform.rotation),
+        translation=np.asarray(history.transform.translation),
+    )
+    sidecar = path.with_suffix(".config.json")
+    sidecar.write_text(json.dumps(dataclasses.asdict(config), indent=2))
+    return path
+
+
+def load_checkpoint(path: Union[str, Path]):
+    """Load a saved run → (ICPHistory of numpy arrays, ICPConfig)."""
+    path = Path(path)
+    data = np.load(path if path.suffix == ".npz" else path.with_suffix(".npz"))
+    transform = RigidTransform(
+        jnp.asarray(data["rotation"]), jnp.asarray(data["translation"])
+    )
+    history = ICPHistory(
+        transform=transform,
+        incremental_rotations=data["incremental_rotations"],
+        incremental_translations=data["incremental_translations"],
+        accumulated_rotations=data["accumulated_rotations"],
+        accumulated_translations=data["accumulated_translations"],
+        errors=data["errors"],
+        active=data["active"],
+        num_iterations=data["num_iterations"],
+        converged=data["converged"],
+        points=data["points"],
+    )
+    config_path = path.with_suffix(".config.json")
+    config = None
+    if config_path.exists():
+        config = ICPConfig(**json.loads(config_path.read_text()))
+    return history, config
+
+
+def resume_icp(
+    checkpoint: ICPHistory,
+    target: jnp.ndarray,
+    config: ICPConfig,
+    **kwargs,
+) -> ICPHistory:
+    """Continue a registration from a checkpoint's transformed points; the
+    returned history composes on top of the checkpoint's transform."""
+    cont = run_icp_with_history(
+        jnp.asarray(checkpoint.points), target, config, **kwargs
+    )
+    total = cont.transform.compose(
+        RigidTransform(jnp.asarray(checkpoint.transform.rotation),
+                       jnp.asarray(checkpoint.transform.translation))
+    )
+    return cont._replace(transform=total)

@@ -1,0 +1,115 @@
+"""History/checkpoint scan loop, numpy golden baseline, diagnostics."""
+
+import numpy as np
+import pytest
+
+import fpcr_tpu as f
+from fpcr_tpu.models.history import (
+    load_checkpoint,
+    resume_icp,
+    run_icp_with_history,
+    save_checkpoint,
+)
+from fpcr_tpu.models.reference_impl import icp_numpy
+from fpcr_tpu.utils.diagnostics import RegistrationError, validate_result
+
+
+def test_history_matches_while_loop_result():
+    scene = f.synthetic_scene(width=16)
+    cfg = f.ICPConfig(max_iterations=50)
+    res = f.run_icp(scene.source, scene.target, cfg)
+    hist = run_icp_with_history(scene.source, scene.target, cfg)
+    assert int(hist.num_iterations) == int(res.num_iterations)
+    np.testing.assert_allclose(
+        np.asarray(hist.transform.rotation),
+        np.asarray(res.transform.rotation), atol=1e-6,
+    )
+    ni = int(res.num_iterations)
+    np.testing.assert_allclose(
+        np.asarray(hist.errors)[:ni], np.asarray(res.errors)[:ni], atol=1e-7
+    )
+    # inactive tail iterations are frozen no-ops
+    assert not np.asarray(hist.active)[ni:].any()
+    tail_rots = np.asarray(hist.incremental_rotations)[ni:]
+    np.testing.assert_allclose(
+        tail_rots, np.broadcast_to(np.eye(3), tail_rots.shape), atol=0
+    )
+
+
+def test_history_accumulated_equals_compose_of_increments():
+    scene = f.synthetic_scene(width=12)
+    hist = run_icp_with_history(scene.source, scene.target,
+                                f.ICPConfig(max_iterations=20))
+    R = np.eye(3)
+    t = np.zeros(3)
+    for k in range(int(hist.num_iterations)):
+        Rk = np.asarray(hist.incremental_rotations)[k]
+        tk = np.asarray(hist.incremental_translations)[k]
+        R = Rk @ R
+        t = Rk @ t + tk
+    np.testing.assert_allclose(R, np.asarray(hist.transform.rotation), atol=1e-5)
+    np.testing.assert_allclose(t, np.asarray(hist.transform.translation), atol=1e-5)
+
+
+def test_checkpoint_save_load_resume(tmp_path):
+    scene = f.synthetic_scene(width=16)
+    cfg_a = f.ICPConfig(max_iterations=3, tolerance=0.0)  # stop early
+    hist_a = run_icp_with_history(scene.source, scene.target, cfg_a)
+    path = save_checkpoint(tmp_path / "ckpt.npz", hist_a, cfg_a)
+    loaded, cfg_loaded = load_checkpoint(path)
+    assert cfg_loaded.max_iterations == 3
+    np.testing.assert_allclose(loaded.errors, np.asarray(hist_a.errors))
+
+    # resume until convergence; composed transform must recover GT
+    cfg_b = f.ICPConfig(max_iterations=60)
+    hist_b = resume_icp(loaded, scene.target, cfg_b)
+    rmse = float(f.transform_rmse(hist_b.transform, scene.ground_truth, scene.source))
+    assert rmse < 1e-4
+
+
+def test_numpy_baseline_recovers_gt():
+    scene = f.synthetic_scene(width=16)
+    res = icp_numpy(np.asarray(scene.source), np.asarray(scene.target))
+    assert res.converged
+    gtR = np.asarray(scene.ground_truth.rotation)
+    np.testing.assert_allclose(res.rotation, gtR, atol=1e-4)
+
+
+def test_tpu_matches_numpy_baseline_trajectory():
+    """Cross-check (SURVEY.md §4): same error sequence as the f64 golden
+    implementation to f32-accumulation tolerance."""
+    scene = f.synthetic_scene(width=16)
+    res_np = icp_numpy(np.asarray(scene.source), np.asarray(scene.target),
+                       max_iterations=40, tolerance=1e-6)
+    res_j = f.run_icp(scene.source, scene.target,
+                      f.ICPConfig(max_iterations=40, tolerance=1e-6))
+    k = min(res_np.iterations, int(res_j.num_iterations), 10)
+    np.testing.assert_allclose(
+        np.asarray(res_j.errors)[:k], res_np.errors[:k], rtol=1e-3, atol=1e-5
+    )
+
+
+def test_numpy_baseline_plane_metric():
+    scene = f.synthetic_scene(width=16)
+    res = icp_numpy(np.asarray(scene.source), np.asarray(scene.target),
+                    metric="plane", max_iterations=40, tolerance=1e-6)
+    np.testing.assert_allclose(
+        res.rotation, np.asarray(scene.ground_truth.rotation), atol=1e-4
+    )
+
+
+def test_validate_result_passes_good_run():
+    scene = f.synthetic_scene(width=12)
+    res = f.run_icp(scene.source, scene.target, f.ICPConfig(max_iterations=40))
+    assert validate_result(res, require_converged=True) == []
+
+
+def test_validate_result_raises_on_nan():
+    import jax.numpy as jnp
+
+    scene = f.synthetic_scene(width=12)
+    res = f.run_icp(scene.source, scene.target, f.ICPConfig(max_iterations=5))
+    bad = res._replace(transform=f.RigidTransform(
+        jnp.full((3, 3), jnp.nan), res.transform.translation))
+    with pytest.raises(RegistrationError):
+        validate_result(bad)
