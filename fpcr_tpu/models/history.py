@@ -22,7 +22,7 @@ import numpy as np
 from jax import lax
 
 from ..core.transforms import RigidTransform
-from .icp import ICPConfig, icp_iteration
+from .icp import ICPConfig, build_matcher_state, icp_iteration
 
 
 class ICPHistory(NamedTuple):
@@ -60,6 +60,7 @@ def run_icp_with_history(
         )
 
     tol = jnp.float32(config.tolerance)
+    matcher_state = build_matcher_state(target, target_mask, config)
 
     def step(carry, _):
         points, acc, prev_e, done = carry
@@ -67,6 +68,7 @@ def run_icp_with_history(
             points, target, config,
             source_mask=source_mask, target_mask=target_mask,
             target_normals=target_normals, axis_name=axis_name,
+            matcher_state=matcher_state,
         )
         # freeze the state once converged (masked no-op iteration)
         identity = RigidTransform.identity()

@@ -62,15 +62,20 @@ class ICPConfig:
     max_correspondence_dist: Optional[float] = None  # trimmed/robust ICP
     source_chunk: int = 2048
     target_tile: int = 2048
-    matcher: str = "xla"  # 'xla' | 'pallas'
+    matcher: str = "xla"  # 'xla' | 'pallas' | 'grid'
     exact_distances: bool = False
+    # voxel-grid matcher (O(N) fixed-radius search — the large-N path the
+    # brute-force reference lacks; see ops/grid.py)
+    grid_cell_size: Optional[float] = None  # None = auto from target spacing
+    grid_cap: int = 8
+    grid_table_bits: int = 20
 
     def __post_init__(self):
         if self.metric not in ("point", "plane"):
             raise ValueError(f"unknown metric {self.metric!r}")
         if self.solver not in ("svd", "polar"):
             raise ValueError(f"unknown solver {self.solver!r}")
-        if self.matcher not in ("xla", "pallas"):
+        if self.matcher not in ("xla", "pallas", "grid"):
             raise ValueError(f"unknown matcher {self.matcher!r}")
 
 
@@ -91,12 +96,26 @@ class _LoopState(NamedTuple):
     done: jnp.ndarray
 
 
-def _match(points, target, target_mask, config: ICPConfig):
+def _match(points, target, target_mask, config: ICPConfig, matcher_state=None):
+    """Dispatch to the configured matcher.
+
+    Returns ``(idx, sqdist, found)`` — ``found`` is None for exhaustive
+    matchers and a bool mask for the fixed-radius grid matcher.
+    """
     if config.matcher == "pallas":
         from ..ops.matching_pallas import nn_argmin_pallas
 
-        return nn_argmin_pallas(points, target, target_mask)
-    return nn_argmin(
+        idx, d = nn_argmin_pallas(points, target, target_mask)
+        return idx, d, None
+    if config.matcher == "grid":
+        from ..ops.grid import grid_nn
+
+        idx, d, found = grid_nn(
+            points, matcher_state, cap=config.grid_cap,
+            chunk=config.source_chunk,
+        )
+        return idx, d, found
+    idx, d = nn_argmin(
         points,
         target,
         target_mask,
@@ -104,6 +123,21 @@ def _match(points, target, target_mask, config: ICPConfig):
         target_tile=config.target_tile,
         exact=config.exact_distances,
     )
+    return idx, d, None
+
+
+def build_matcher_state(target, target_mask, config: ICPConfig):
+    """Precompute per-target matcher structures (the voxel hash table for
+    matcher='grid'); built once, reused every iteration."""
+    if config.matcher != "grid":
+        return None
+    from ..ops.grid import build_voxel_table, suggest_cell_size
+
+    cell = (jnp.float32(config.grid_cell_size)
+            if config.grid_cell_size is not None
+            else suggest_cell_size(target))
+    return build_voxel_table(target, cell, table_bits=config.grid_table_bits,
+                             q_mask=target_mask)
 
 
 def icp_iteration(
@@ -114,15 +148,19 @@ def icp_iteration(
     target_mask: Optional[jnp.ndarray] = None,
     target_normals: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    matcher_state=None,
 ):
     """One ICP iteration: returns (new_points, incremental_transform, error).
 
     ``points``/``source_mask`` may be a shard; ``target`` is replicated.
     """
-    idx, dmin = _match(points, target, target_mask, config)
+    idx, dmin, found = _match(points, target, target_mask, config,
+                              matcher_state)
     q_matched = gather_correspondences(target, idx)
 
     mask = source_mask
+    if found is not None:  # grid matcher: unmatched rows leave the solve
+        mask = found if mask is None else (mask & found)
     if config.max_correspondence_dist is not None:
         gate = dmin <= (config.max_correspondence_dist ** 2)
         mask = gate if mask is None else (mask & gate)
@@ -141,9 +179,11 @@ def icp_iteration(
         )
 
     new_points = inc.apply(points)
-    # Reference error semantics: new points vs this iteration's matches, and
-    # the full (unmasked) source count as in ||p - q_idx|| / sqrt(N).
-    error = rmse(new_points, q_matched, source_mask, axis_name=axis_name)
+    # Reference error semantics: new points vs this iteration's matches
+    # (||p - q_idx|| / sqrt(N)). With an exhaustive matcher and no trimming,
+    # `mask` equals `source_mask`, i.e. the reference's full-cloud RMSE;
+    # otherwise the error is over the solve's inlier set.
+    error = rmse(new_points, q_matched, mask, axis_name=axis_name)
     return new_points, inc, error
 
 
@@ -165,6 +205,8 @@ def _run_icp(
             chunk=config.source_chunk, tile=config.target_tile,
         )
 
+    matcher_state = build_matcher_state(target, target_mask, config)
+
     def cond(state: _LoopState):
         return jnp.logical_and(state.iteration < max_iter, ~state.done)
 
@@ -173,6 +215,7 @@ def _run_icp(
             state.points, target, config,
             source_mask=source_mask, target_mask=target_mask,
             target_normals=target_normals, axis_name=axis_name,
+            matcher_state=matcher_state,
         )
         errors = state.errors.at[state.iteration].set(error)
         converged = jnp.logical_or(

@@ -1,0 +1,69 @@
+"""Coarse-to-fine registration pipeline — the large-N model family.
+
+The reference registers ≤36k-point clouds with brute-force matching every
+iteration. At 1M+ points that is 10¹² distance pairs per iteration; the
+production-scale path here is the standard two-stage pipeline, TPU-first:
+
+1. **Coarse**: subsample both clouds (strided — cheap and deterministic),
+   run brute-force ICP on the subsets (a few thousand points — microseconds
+   per iteration on the MXU path). This absorbs the large initial
+   displacement that a fixed-radius matcher cannot see.
+2. **Fine**: apply the coarse transform, then run ICP with the voxel-grid
+   matcher (O(N·27·cap) per iteration) on the full clouds. At fine scale the
+   residual displacement is within a cell, where grid search is exact.
+
+Composes the two transforms into one source→target estimate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.transforms import RigidTransform
+from .icp import ICPConfig, ICPResult, _run_icp
+
+
+class CoarseToFineResult(NamedTuple):
+    transform: RigidTransform  # total source→target
+    coarse: ICPResult
+    fine: ICPResult
+
+
+def _subsample(x: jnp.ndarray, max_points: int) -> jnp.ndarray:
+    n = x.shape[0]
+    if n <= max_points:
+        return x
+    step = n // max_points
+    return x[:: step][:max_points]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("coarse_config", "fine_config", "coarse_points")
+)
+def icp_coarse_to_fine(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    coarse_config: ICPConfig = ICPConfig(max_iterations=30),
+    fine_config: ICPConfig = ICPConfig(matcher="grid", max_iterations=20),
+    coarse_points: int = 4096,
+    target_normals: Optional[jnp.ndarray] = None,
+) -> CoarseToFineResult:
+    """Register huge clouds: brute-force ICP on subsets, then grid-matched
+    ICP on the full clouds. Whole pipeline is one jit."""
+    src_sub = _subsample(source, coarse_points)
+    tgt_sub = _subsample(target, coarse_points)
+
+    coarse = _run_icp(src_sub, tgt_sub, coarse_config,
+                      None, None, None, None)
+
+    source_warm = coarse.transform.apply(source)
+    fine = _run_icp(source_warm, target, fine_config,
+                    None, None, target_normals, None)
+
+    total = fine.transform.compose(coarse.transform)
+    return CoarseToFineResult(transform=total, coarse=coarse, fine=fine)

@@ -1,0 +1,76 @@
+"""Large-N scaling benchmark: grid-matched ICP per-iteration cost on TPU.
+
+Targets the BASELINE.json north star: <10 ms per ICP iteration at 1M points
+per chip (the brute-force reference caps at 16k: 6.49 ms on RTX 2060).
+Prints one JSON line per size. Run on the TPU (no args) — slope-timed like
+bench.py (defeats tunnel RPC overhead + server-side result memoization).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import fpcr_tpu as f  # noqa: E402
+
+
+def slope_time(run, src, tgt, lo_res, hi_res, lo, hi, repeats=3):
+    eps = np.float32(1e-7)
+
+    def timed(fn, r):
+        ts = []
+        for k in range(repeats):
+            s = src + eps * (k + 1)
+            t = tgt + eps * (k + 1)
+            float(s[0, 0]); float(t[0, 0])
+            t0 = time.perf_counter()
+            out = fn(s, t)
+            float(out.errors[-1])  # real sync through the tunnel
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_lo = timed(lo_res, lo)
+    t_hi = timed(hi_res, hi)
+    return (t_hi - t_lo) * 1e3 / (hi - lo)
+
+
+def bench_size(width: int, matcher: str, lo=5, hi=25, cap=12):
+    scene = f.synthetic_scene(width=width)
+    n = scene.source.shape[0]
+    # near-registered regime (the per-iteration cost measurement; the
+    # coarse stage handles large displacements — see models/pipeline.py)
+    gt = f.gt_transform((0.004, -0.002, 0.003), (0.002, -0.003, 0.002))
+    src = jax.device_put(scene.source)
+    tgt = jax.device_put(gt.apply(scene.source))
+
+    def make(iters):
+        cfg = f.ICPConfig(matcher=matcher, max_iterations=iters,
+                          tolerance=0.0, grid_cap=cap,
+                          source_chunk=65536 if matcher == "grid" else 2048)
+        def run(s, t):
+            return f.run_icp(s, t, cfg)
+        float(run(src, tgt).errors[-1])  # compile+warm
+        return run
+
+    run_lo, run_hi = make(lo), make(hi)
+    ms = slope_time(None, src, tgt, run_lo, run_hi, lo, hi)
+    res = run_hi(src, tgt)
+    print(json.dumps({
+        "n": int(n), "matcher": matcher, "ms_per_iter": round(ms, 4),
+        "final_err": float(res.errors[hi - 1]),
+        "platform": jax.devices()[0].platform,
+    }), flush=True)
+    return ms
+
+
+if __name__ == "__main__":
+    bench_size(128, "xla")      # 16,384 brute (sanity vs bench.py)
+    bench_size(128, "grid")     # 16,384 grid
+    bench_size(512, "grid")     # 262,144
+    bench_size(1024, "grid")    # 1,048,576 — the north star

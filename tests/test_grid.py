@@ -1,0 +1,98 @@
+"""Voxel-grid NN: exactness in-regime, ICP integration, coarse-to-fine."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import fpcr_tpu as f
+from fpcr_tpu.ops.grid import (
+    build_voxel_table,
+    grid_nn,
+    suggest_cell_size,
+)
+from fpcr_tpu.ops.matching import nn_argmin
+
+
+def np_nn(p, q):
+    d = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    return d.argmin(1), d.min(1)
+
+
+@pytest.fixture
+def clouds():
+    rng = np.random.default_rng(55)
+    q = rng.uniform(-2, 2, size=(4000, 3)).astype(np.float32)
+    p = (q[:1500] + rng.normal(scale=0.005, size=(1500, 3))).astype(np.float32)
+    return p, q
+
+
+def test_grid_nn_matches_brute_force_in_regime(clouds):
+    """Near-registered clouds + sane cell size → exact brute-force answers."""
+    p, q = clouds
+    cell = float(suggest_cell_size(jnp.asarray(q)))
+    table = build_voxel_table(jnp.asarray(q), cell)
+    idx, d, found = grid_nn(jnp.asarray(p), table, cap=16)
+    assert bool(np.asarray(found).all())
+    ref_idx, ref_d = np_nn(p, q)
+    agree = (np.asarray(idx) == ref_idx).mean()
+    assert agree > 0.999, agree
+    np.testing.assert_allclose(np.asarray(d)[np.asarray(idx) == ref_idx],
+                               ref_d[np.asarray(idx) == ref_idx], rtol=1e-3)
+
+
+def test_grid_nn_reports_unfound_for_distant_queries(clouds):
+    p, q = clouds
+    cell = float(suggest_cell_size(jnp.asarray(q)))
+    table = build_voxel_table(jnp.asarray(q), cell)
+    far = jnp.asarray(np.full((10, 3), 100.0, np.float32))
+    idx, d, found = grid_nn(far, table)
+    assert not bool(np.asarray(found).any())
+    assert np.isinf(np.asarray(d)).all()
+
+
+def test_grid_nn_with_target_mask(clouds):
+    p, q = clouds
+    mask = np.ones(len(q), bool)
+    mask[2000:] = False
+    cell = float(suggest_cell_size(jnp.asarray(q[:2000])))
+    table = build_voxel_table(jnp.asarray(q), cell, q_mask=jnp.asarray(mask))
+    idx, d, found = grid_nn(jnp.asarray(p[:100]), table, cap=16)
+    got = np.asarray(idx)[np.asarray(found)]
+    assert (got < 2000).all()  # masked targets never matched
+
+
+def test_icp_grid_matcher_near_registered(clouds):
+    """Grid-matched ICP refines a small displacement to high accuracy."""
+    _, q = clouds
+    src = jnp.asarray(q)
+    gt = f.gt_transform((0.004, -0.003, 0.002), (0.003, -0.002, 0.004))
+    tgt = gt.apply(src)
+    res = f.run_icp(src, tgt,
+                    f.ICPConfig(matcher="grid", max_iterations=30, grid_cap=16))
+    assert float(f.transform_rmse(res.transform, gt, src)) < 1e-4
+
+
+def test_coarse_to_fine_full_displacement():
+    """Full reference-scale displacement (t=(0.8,-0.3,0.2)) on the synthetic
+    scene via coarse brute + fine grid."""
+    from fpcr_tpu.models.pipeline import icp_coarse_to_fine
+
+    scene = f.synthetic_scene(width=64)  # 4096 pts
+    res = icp_coarse_to_fine(
+        scene.source, scene.target,
+        coarse_config=f.ICPConfig(max_iterations=40),
+        fine_config=f.ICPConfig(matcher="grid", max_iterations=20, grid_cap=16),
+        coarse_points=1024,
+    )
+    assert float(f.transform_rmse(res.transform, scene.ground_truth, scene.source)) < 1e-4
+
+
+def test_grid_handles_duplicate_points():
+    pts = np.repeat(np.random.default_rng(1).uniform(-1, 1, (50, 3)), 20, axis=0)
+    pts = pts.astype(np.float32)  # 1000 pts, 20 copies each — bucket overflow
+    table = build_voxel_table(jnp.asarray(pts), 0.1)
+    idx, d, found = grid_nn(jnp.asarray(pts[:100]), table, cap=4)
+    # self (distance 0) may be beyond the cap cut, but a zero-distance
+    # duplicate must still be found
+    assert bool(np.asarray(found).all())
+    assert float(np.asarray(d).max()) <= 1e-6
