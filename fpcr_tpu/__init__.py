@@ -40,7 +40,9 @@ from .models.history import (
     run_icp_with_history,
     save_checkpoint,
 )
+from .models.pipeline import CoarseToFineResult, icp_coarse_to_fine
 from .ops.matching import gather_correspondences, nn_argmin, pairwise_sqdist
+from .ops.grid import build_voxel_table, grid_nn, suggest_cell_size
 from .ops.solve import kabsch_transform, point_to_plane_transform
 from .data.synthetic import RegistrationScene, surface_grid, synthetic_scene, transformed_scene
 from .data.bunny import bunny_scene, load_bunny

@@ -18,6 +18,7 @@ import argparse
 import json
 import sys
 import time
+from dataclasses import replace as dataclasses_replace
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -64,6 +65,8 @@ def _cmd_run(args) -> int:
         matcher=args.matcher,
         strict_reference=args.strict_reference,
         max_correspondence_dist=args.trim_dist,
+        grid_cell_size=args.grid_cell_size,
+        grid_cap=args.grid_cap,
     )
 
     if args.profile:
@@ -74,7 +77,18 @@ def _cmd_run(args) -> int:
         print(timer.report())
         return 0
 
-    if args.distributed:
+    if args.coarse_to_fine:
+        from .models.pipeline import icp_coarse_to_fine
+
+        fine = dataclasses_replace(config, matcher="morton")
+        t0 = time.perf_counter()
+        c2f = icp_coarse_to_fine(
+            scene.source, scene.target,
+            coarse_config=dataclasses_replace(config, matcher="xla"),
+            fine_config=fine, coarse_points=args.coarse_points,
+        )
+        res = c2f.fine._replace(transform=c2f.transform)
+    elif args.distributed:
         from .parallel.dist_icp import distributed_icp
 
         t0 = time.perf_counter()
@@ -175,11 +189,17 @@ def main(argv=None) -> int:
     run.add_argument("--tol", type=float, default=1e-6)
     run.add_argument("--k", type=int, default=4, help="normals kNN size")
     run.add_argument("--solver", default="svd", choices=["svd", "polar"])
-    run.add_argument("--matcher", default="xla", choices=["xla", "pallas"])
+    run.add_argument("--matcher", default="xla", choices=["xla", "pallas", "grid", "morton"])
     run.add_argument("--strict-reference", action="store_true",
                      help="exact reference math (no det(R) correction)")
     run.add_argument("--trim-dist", type=float, default=None,
                      help="max correspondence distance (robust/trimmed ICP)")
+    run.add_argument("--coarse-to-fine", action="store_true",
+                     help="coarse brute-force ICP on subsets, then fine "
+                          "grid-matched ICP on the full clouds (large-N path)")
+    run.add_argument("--coarse-points", type=int, default=4096)
+    run.add_argument("--grid-cell-size", type=float, default=None)
+    run.add_argument("--grid-cap", type=int, default=8)
     run.add_argument("--distributed", action="store_true",
                      help="shard source points over all devices")
     run.add_argument("--profile", action="store_true",

@@ -60,7 +60,20 @@ def run_icp_with_history(
         )
 
     tol = jnp.float32(config.tolerance)
-    matcher_state = build_matcher_state(target, target_mask, config)
+    matcher_state = build_matcher_state(target, target_mask, config,
+                                        target_normals=target_normals)
+
+    source = source.astype(jnp.float32)
+    unsort = None
+    if config.matcher == "morton":
+        from ..ops.morton import source_morton_order
+
+        order = source_morton_order(source, matcher_state[0])
+        source = jnp.take(source, order, axis=0)
+        if source_mask is not None:
+            source_mask = jnp.take(source_mask, order)
+        unsort = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=jnp.int32))
 
     def step(carry, _):
         points, acc, prev_e, done = carry
@@ -94,6 +107,8 @@ def run_icp_with_history(
     (points, acc, _, done), outs = lax.scan(
         step, init, None, length=config.max_iterations
     )
+    if unsort is not None:
+        points = jnp.take(points, unsort, axis=0)
     inc_r, inc_t, acc_r, acc_t, errors, active = outs
     return ICPHistory(
         transform=acc,

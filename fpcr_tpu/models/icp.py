@@ -60,22 +60,30 @@ class ICPConfig:
     strict_reference: bool = False  # exact reference math (no det fix)
     damping: float = 0.0  # Levenberg damping for the 6x6 solve
     max_correspondence_dist: Optional[float] = None  # trimmed/robust ICP
+    # robust auto-trim: gate matches with sqdist > factor x (iteratively
+    # re-trimmed mean sqdist). None = off for exhaustive matchers, 9.0 for
+    # 'morton' (whose rare window misses have unbounded distance and would
+    # otherwise bias the solve).
+    auto_trim: Optional[float] = None
     source_chunk: int = 2048
     target_tile: int = 2048
-    matcher: str = "xla"  # 'xla' | 'pallas' | 'grid'
+    matcher: str = "xla"  # 'xla' | 'pallas' | 'grid' | 'morton'
     exact_distances: bool = False
-    # voxel-grid matcher (O(N) fixed-radius search — the large-N path the
-    # brute-force reference lacks; see ops/grid.py)
+    # voxel-grid matcher (exact fixed-radius search; gather-bound on TPU —
+    # prefer 'morton' for speed at scale; see ops/grid.py)
     grid_cell_size: Optional[float] = None  # None = auto from target spacing
     grid_cap: int = 8
     grid_table_bits: int = 20
+    # morton windowed matcher (the large-N fast path; see ops/morton.py)
+    morton_chunk: int = 256
+    morton_window: int = 512
 
     def __post_init__(self):
         if self.metric not in ("point", "plane"):
             raise ValueError(f"unknown metric {self.metric!r}")
         if self.solver not in ("svd", "polar"):
             raise ValueError(f"unknown solver {self.solver!r}")
-        if self.matcher not in ("xla", "pallas", "grid"):
+        if self.matcher not in ("xla", "pallas", "grid", "morton"):
             raise ValueError(f"unknown matcher {self.matcher!r}")
 
 
@@ -126,18 +134,73 @@ def _match(points, target, target_mask, config: ICPConfig, matcher_state=None):
     return idx, d, None
 
 
-def build_matcher_state(target, target_mask, config: ICPConfig):
-    """Precompute per-target matcher structures (the voxel hash table for
-    matcher='grid'); built once, reused every iteration."""
-    if config.matcher != "grid":
-        return None
-    from ..ops.grid import build_voxel_table, suggest_cell_size
+def build_matcher_state(target, target_mask, config: ICPConfig,
+                        target_normals=None):
+    """Precompute per-target matcher structures (voxel hash table / Morton
+    table); built once, reused every iteration."""
+    if config.matcher == "grid":
+        from ..ops.grid import build_voxel_table, suggest_cell_size
 
-    cell = (jnp.float32(config.grid_cell_size)
-            if config.grid_cell_size is not None
-            else suggest_cell_size(target))
-    return build_voxel_table(target, cell, table_bits=config.grid_table_bits,
-                             q_mask=target_mask)
+        cell = (jnp.float32(config.grid_cell_size)
+                if config.grid_cell_size is not None
+                else suggest_cell_size(target))
+        return build_voxel_table(target, cell,
+                                 table_bits=config.grid_table_bits,
+                                 q_mask=target_mask)
+    if config.matcher == "morton":
+        from ..ops.morton import build_morton_table
+
+        table = build_morton_table(target, target_mask)
+        normals_sorted = (None if target_normals is None else
+                          jnp.take(target_normals, table.orig_index, axis=0))
+        return (table, normals_sorted)
+    return None
+
+
+def _correspondences(points, target, target_mask, target_normals,
+                     config: ICPConfig, matcher_state):
+    """Find correspondences: returns (q_matched, n_matched, dmin, found).
+
+    For matcher='morton' the matched points/normals come straight from the
+    dense target bands — no index gathers anywhere in the loop body.
+    """
+    if config.matcher == "morton":
+        from ..ops.morton import morton_nn
+
+        table, normals_sorted = matcher_state
+        q_m, dmin, _, n_m = morton_nn(
+            points, table, normals_sorted,
+            chunk=config.morton_chunk, window=config.morton_window,
+        )
+        return q_m, n_m, dmin, None
+    idx, dmin, found = _match(points, target, target_mask, config,
+                              matcher_state)
+    q_m = gather_correspondences(target, idx)
+    n_m = (None if target_normals is None
+           else gather_correspondences(target_normals, idx))
+    return q_m, n_m, dmin, found
+
+
+def _auto_trim_gate(dmin, mask, factor, axis_name):
+    """Robust outlier gate: iteratively re-trimmed mean of the squared match
+    distances (3 passes) scaled by ``factor``. Kills the unbounded miss tail
+    of approximate matchers without a user-supplied threshold."""
+    def _ps(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    finite = jnp.isfinite(dmin)
+    base = finite if mask is None else (mask & finite)
+    dmin = jnp.maximum(dmin, 0.0)  # guard f32 cancellation noise
+    d_safe = jnp.where(base, dmin, 0.0)
+    w = base.astype(dmin.dtype)
+    t = _ps(jnp.sum(d_safe)) / jnp.maximum(_ps(jnp.sum(w)), 1.0)
+    for _ in range(3):
+        keep = (dmin <= t) & base
+        kw = keep.astype(dmin.dtype)
+        t = (_ps(jnp.sum(jnp.where(keep, dmin, 0.0)))
+             / jnp.maximum(_ps(jnp.sum(kw)), 1.0))
+    gate = dmin <= factor * t + 1e-12
+    return gate if mask is None else (mask & gate)
 
 
 def icp_iteration(
@@ -154,9 +217,8 @@ def icp_iteration(
 
     ``points``/``source_mask`` may be a shard; ``target`` is replicated.
     """
-    idx, dmin, found = _match(points, target, target_mask, config,
-                              matcher_state)
-    q_matched = gather_correspondences(target, idx)
+    q_matched, n_matched, dmin, found = _correspondences(
+        points, target, target_mask, target_normals, config, matcher_state)
 
     mask = source_mask
     if found is not None:  # grid matcher: unmatched rows leave the solve
@@ -165,6 +227,12 @@ def icp_iteration(
         gate = dmin <= (config.max_correspondence_dist ** 2)
         mask = gate if mask is None else (mask & gate)
 
+    auto_trim = config.auto_trim
+    if auto_trim is None and config.matcher == "morton":
+        auto_trim = 9.0
+    if auto_trim:
+        mask = _auto_trim_gate(dmin, mask, auto_trim, axis_name)
+
     det_fix = config.det_correction and not config.strict_reference
     if config.metric == "point":
         inc = kabsch_transform(
@@ -172,7 +240,6 @@ def icp_iteration(
             solver=config.solver, det_correction=det_fix, axis_name=axis_name,
         )
     else:
-        n_matched = gather_correspondences(target_normals, idx)
         inc = point_to_plane_transform(
             points, q_matched, n_matched, mask,
             damping=config.damping, axis_name=axis_name,
@@ -205,7 +272,24 @@ def _run_icp(
             chunk=config.source_chunk, tile=config.target_tile,
         )
 
-    matcher_state = build_matcher_state(target, target_mask, config)
+    matcher_state = build_matcher_state(target, target_mask, config,
+                                        target_normals=target_normals)
+
+    source = source.astype(jnp.float32)
+    unsort = None
+    if config.matcher == "morton":
+        # Pre-sort the source along the target's Morton frame ONCE: the
+        # solve and error are permutation-invariant, rigid iterates keep
+        # consecutive rows spatially coherent, and the loop body then runs
+        # entirely gather-free (band reads only).
+        from ..ops.morton import source_morton_order
+
+        order = source_morton_order(source, matcher_state[0])
+        source = jnp.take(source, order, axis=0)
+        if source_mask is not None:
+            source_mask = jnp.take(source_mask, order)
+        unsort = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=jnp.int32))
 
     def cond(state: _LoopState):
         return jnp.logical_and(state.iteration < max_iter, ~state.done)
@@ -239,12 +323,15 @@ def _run_icp(
         done=jnp.bool_(False),
     )
     final = lax.while_loop(cond, body, init)
+    points_out = final.points
+    if unsort is not None:
+        points_out = jnp.take(points_out, unsort, axis=0)
     return ICPResult(
         transform=final.transform,
         errors=final.errors,
         num_iterations=final.iteration,
         converged=final.done,
-        points=final.points,
+        points=points_out,
     )
 
 

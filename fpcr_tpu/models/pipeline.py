@@ -8,9 +8,11 @@ production-scale path here is the standard two-stage pipeline, TPU-first:
    run brute-force ICP on the subsets (a few thousand points — microseconds
    per iteration on the MXU path). This absorbs the large initial
    displacement that a fixed-radius matcher cannot see.
-2. **Fine**: apply the coarse transform, then run ICP with the voxel-grid
-   matcher (O(N·27·cap) per iteration) on the full clouds. At fine scale the
-   residual displacement is within a cell, where grid search is exact.
+2. **Fine**: apply the coarse transform, then run ICP with the Morton
+   windowed matcher (O(N·band) dense work, zero gathers — ops/morton.py) on
+   the full clouds. At fine scale the residual displacement is small, where
+   the windowed search is (near-)exact; the voxel-grid matcher remains
+   available via fine_config for exact fixed-radius semantics.
 
 Composes the two transforms into one source→target estimate.
 """
@@ -49,7 +51,7 @@ def icp_coarse_to_fine(
     source: jnp.ndarray,
     target: jnp.ndarray,
     coarse_config: ICPConfig = ICPConfig(max_iterations=30),
-    fine_config: ICPConfig = ICPConfig(matcher="grid", max_iterations=20),
+    fine_config: ICPConfig = ICPConfig(matcher="morton", max_iterations=20),
     coarse_points: int = 4096,
     target_normals: Optional[jnp.ndarray] = None,
 ) -> CoarseToFineResult:

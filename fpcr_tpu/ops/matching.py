@@ -55,7 +55,9 @@ def pairwise_sqdist(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
         # distances by ~0.4% and breaks argmin parity near ties.
         precision=jax.lax.Precision.HIGHEST,
     )  # [n, m] on the MXU
-    return p_sq - 2.0 * cross + q_sq[None, :]
+    # clamp: f32 cancellation can drive near-zero distances slightly
+    # negative, which breaks downstream robust statistics
+    return jnp.maximum(p_sq - 2.0 * cross + q_sq[None, :], 0.0)
 
 
 def pairwise_sqdist_exact(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:

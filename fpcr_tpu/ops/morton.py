@@ -1,0 +1,187 @@
+"""Morton-order windowed nearest-neighbor matching — the large-N matcher.
+
+Random gathers are the one memory pattern a TPU cannot stream: the voxel-hash
+matcher (ops/grid.py) is correct but gather-bound (µs per point). This module
+replaces gathers with *contiguous band reads*:
+
+1. **Target prep** (once per registration): quantize target coords to a
+   30-bit Morton code (10 bits/axis, int32-safe), sort the cloud along the
+   curve. Spatially close points land at close ranks.
+2. **Source prep** (once): sort the source along its own Morton order. A
+   rigid motion preserves neighborhoods, so a run of consecutive sorted
+   source points stays spatially coherent through every ICP iteration.
+3. **Per iteration**: for each chunk of ``chunk`` consecutive source points,
+   locate the chunk's *probe rank* in the target order (one searchsorted on
+   ~N/chunk probes — cheap) and read the contiguous target band
+   ``[rank - window, rank + window + chunk]`` with ``dynamic_slice``. Brute
+   force the chunk against its band: MXU cross-term + VPU argmin, exactly
+   the 16k-scale matcher but per-band. Cost is O(N · band) dense FLOPs with
+   zero random gathers.
+
+The result is approximate: a true NN outside the band is missed (Morton
+curve discontinuities; large rotations). ICP absorbs this — matches are
+still *near*-nearest, the solve is dominated by the 99%+ correct majority,
+and the next iteration re-matches; `max_correspondence_dist` masking covers
+the tail. Exactness in the near-registered regime is asserted in tests.
+
+No reference counterpart (the CUDA code is brute-force only — SURVEY.md §5
+'long-context' row: point count is the scaling axis this rebuild innovates).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.cloud import round_up
+from .matching import _pad_to, pairwise_sqdist
+
+_BITS = 10  # 10 bits/axis -> 30-bit codes, int32-safe
+
+
+def _part1by2(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of x so there are two zero bits between each
+    (classic Morton bit-twiddle, vectorized int32)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_codes(
+    points: jnp.ndarray, lo: jnp.ndarray, inv_extent: jnp.ndarray
+) -> jnp.ndarray:
+    """30-bit Morton codes for ``[N, 3]`` points given bounds (lo, 1/extent)."""
+    u = jnp.clip(
+        ((points - lo) * inv_extent * (1 << _BITS)).astype(jnp.int32),
+        0, (1 << _BITS) - 1,
+    )
+    return (
+        (_part1by2(u[:, 0]) << 2)
+        | (_part1by2(u[:, 1]) << 1)
+        | _part1by2(u[:, 2])
+    )
+
+
+class MortonTable(NamedTuple):
+    points_sorted: jnp.ndarray  # [M, 3] target along the curve
+    codes_sorted: jnp.ndarray  # [M] int32 (masked rows pushed to the end)
+    orig_index: jnp.ndarray  # [M] sorted pos -> original target index
+    lo: jnp.ndarray  # [3] bounds used for quantization
+    inv_extent: jnp.ndarray  # [3]
+    valid_count: jnp.ndarray  # scalar int32 — rows beyond are masked
+
+
+@functools.partial(jax.jit, static_argnames=())
+def build_morton_table(
+    q: jnp.ndarray, q_mask: Optional[jnp.ndarray] = None
+) -> MortonTable:
+    m = q.shape[0]
+    q = q.astype(jnp.float32)
+    if q_mask is not None:
+        q_for_bounds = jnp.where(q_mask[:, None], q, jnp.nan)
+        lo = jnp.nanmin(q_for_bounds, axis=0)
+        hi = jnp.nanmax(q_for_bounds, axis=0)
+        valid_count = jnp.sum(q_mask.astype(jnp.int32))
+    else:
+        lo = jnp.min(q, axis=0)
+        hi = jnp.max(q, axis=0)
+        valid_count = jnp.int32(m)
+    inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-12)
+
+    codes = morton_codes(q, lo, inv_extent)
+    if q_mask is not None:
+        codes = jnp.where(q_mask, codes, jnp.int32(2**31 - 1))
+    order = jnp.argsort(codes).astype(jnp.int32)
+    return MortonTable(
+        points_sorted=jnp.take(q, order, axis=0),
+        codes_sorted=jnp.take(codes, order),
+        orig_index=order,
+        lo=lo,
+        inv_extent=inv_extent,
+        valid_count=valid_count,
+    )
+
+
+@jax.jit
+def source_morton_order(p: jnp.ndarray, table: MortonTable) -> jnp.ndarray:
+    """Morton sort order for the source in the target's frame. Applied ONCE
+    before the ICP loop (the solve/error are permutation-invariant); rigid
+    iterates keep consecutive sorted points spatially coherent, so the loop
+    itself needs no per-iteration reordering or index translation."""
+    codes = morton_codes(p.astype(jnp.float32), table.lo, table.inv_extent)
+    return jnp.argsort(codes).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "window"))
+def morton_nn(
+    p: jnp.ndarray,
+    table: MortonTable,
+    extra: Optional[jnp.ndarray] = None,
+    chunk: int = 256,
+    window: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Windowed NN against the Morton table.
+
+    ``p`` rows must be spatially coherent (pre-sort the initial source with
+    ``source_morton_order``; rigid iterates preserve coherence). Returns
+    ``(matched_points[N,3], sqdist[N], idx_sorted[N], matched_extra)`` —
+    matched values are selected directly from the dense band, so the caller
+    performs NO random gathers. ``extra`` (e.g. target normals) must already
+    be in table order (``extra_sorted = extra[table.orig_index]``).
+    """
+    n = p.shape[0]
+    p = p.astype(jnp.float32)
+
+    n_pad = round_up(n, chunk)
+    p_sorted = _pad_to(p, n_pad, 0.0)
+
+    band = chunk + 2 * window
+    num_chunks = n_pad // chunk
+
+    # pad the target band source so dynamic_slice always fits
+    m = table.points_sorted.shape[0]
+    m_pad = max(round_up(m, 8), band)
+    t_sorted = _pad_to(table.points_sorted, m_pad, 0.0)
+    valid_rows = jnp.arange(m_pad) < table.valid_count
+    e_sorted = None if extra is None else _pad_to(
+        extra.astype(jnp.float32), m_pad, 0.0)
+
+    # per-chunk probe: the chunk's middle point's Morton rank in the target
+    probe_pts = p_sorted.reshape(num_chunks, chunk, 3)[:, chunk // 2, :]
+    probe_codes = morton_codes(probe_pts, table.lo, table.inv_extent)
+    ranks = jnp.searchsorted(table.codes_sorted, probe_codes).astype(jnp.int32)
+    bases = jnp.clip(ranks - (band // 2), 0, m_pad - band)
+
+    def per_chunk(args):
+        pc, base = args  # [chunk, 3], scalar
+        tb = lax.dynamic_slice(t_sorted, (base, jnp.int32(0)), (band, 3))
+        vmask = lax.dynamic_slice(valid_rows, (base,), (band,))
+        d = pairwise_sqdist(pc, tb)
+        d = jnp.where(vmask[None, :], d, jnp.inf)
+        arg = jnp.argmin(d, axis=1).astype(jnp.int32)
+        dmin = jnp.min(d, axis=1)
+        matched = jnp.take(tb, arg, axis=0)  # VMEM-local select
+        if e_sorted is None:
+            eb = jnp.zeros((chunk, 3), jnp.float32)
+        else:
+            eband = lax.dynamic_slice(e_sorted, (base, jnp.int32(0)),
+                                      (band, 3))
+            eb = jnp.take(eband, arg, axis=0)
+        return matched, dmin, base + arg, eb
+
+    matched, dmin, idx_sorted, exm = lax.map(
+        per_chunk, (p_sorted.reshape(num_chunks, chunk, 3), bases)
+    )
+    matched = matched.reshape(n_pad, 3)[:n]
+    dmin = dmin.reshape(n_pad)[:n]
+    idx_sorted = jnp.clip(idx_sorted.reshape(n_pad)[:n], 0, m - 1)
+    exm = None if extra is None else exm.reshape(n_pad, 3)[:n]
+    return matched, dmin, idx_sorted, exm

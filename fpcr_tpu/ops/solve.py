@@ -177,6 +177,11 @@ def plane_solve_update(
     """
     if damping:
         C = C + damping * jnp.eye(6, dtype=C.dtype)
+    # relative floor keeps the factorization finite even if the inlier set
+    # collapses to (near-)empty — the solve then returns x ~ 0 (identity
+    # update) instead of NaN
+    floor = 1e-7 * (jnp.trace(C) / 6.0) + 1e-30
+    C = C + floor * jnp.eye(6, dtype=C.dtype)
     chol, lower = jax.scipy.linalg.cho_factor(C)
     x = jax.scipy.linalg.cho_solve((chol, lower), b)
     R = rotation_zyx(x[0], x[1], x[2]).astype(C.dtype)

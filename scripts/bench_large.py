@@ -40,7 +40,8 @@ def slope_time(run, src, tgt, lo_res, hi_res, lo, hi, repeats=3):
     return (t_hi - t_lo) * 1e3 / (hi - lo)
 
 
-def bench_size(width: int, matcher: str, lo=5, hi=25, cap=12):
+def bench_size(width: int, matcher: str, lo=5, hi=25, cap=12, window=512,
+               chunk=256):
     scene = f.synthetic_scene(width=width)
     n = scene.source.shape[0]
     # near-registered regime (the per-iteration cost measurement; the
@@ -52,6 +53,7 @@ def bench_size(width: int, matcher: str, lo=5, hi=25, cap=12):
     def make(iters):
         cfg = f.ICPConfig(matcher=matcher, max_iterations=iters,
                           tolerance=0.0, grid_cap=cap,
+                          morton_window=window, morton_chunk=chunk,
                           source_chunk=65536 if matcher == "grid" else 2048)
         def run(s, t):
             return f.run_icp(s, t, cfg)
@@ -70,7 +72,15 @@ def bench_size(width: int, matcher: str, lo=5, hi=25, cap=12):
 
 
 if __name__ == "__main__":
-    bench_size(128, "xla")      # 16,384 brute (sanity vs bench.py)
-    bench_size(128, "grid")     # 16,384 grid
-    bench_size(512, "grid")     # 262,144
-    bench_size(1024, "grid")    # 1,048,576 — the north star
+    import sys as _sys
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "morton"
+    if which == "grid":
+        bench_size(128, "grid")
+        bench_size(512, "grid")
+        bench_size(1024, "grid")
+    else:
+        bench_size(128, "morton")    # 16,384
+        bench_size(512, "morton")    # 262,144
+        bench_size(1024, "morton")   # 1,048,576 — the north star
+        bench_size(1024, "morton", window=256)
+        bench_size(1024, "morton", window=1024)

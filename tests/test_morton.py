@@ -1,0 +1,126 @@
+"""Morton windowed matcher: code properties, match quality, ICP integration."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import fpcr_tpu as f
+from fpcr_tpu.ops.morton import (
+    build_morton_table,
+    morton_codes,
+    morton_nn,
+    source_morton_order,
+)
+
+
+def np_nn(p, q):
+    d = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    return d.argmin(1), d.min(1)
+
+
+def test_morton_codes_locality():
+    """Adjacent grid points get nearby codes; code is monotone per axis at
+    fixed other axes."""
+    lo = jnp.zeros(3)
+    inv = jnp.ones(3)
+    pts = jnp.asarray([[0.1, 0.1, 0.1], [0.1, 0.1, 0.11], [0.9, 0.9, 0.9]],
+                      dtype=jnp.float32)
+    c = np.asarray(morton_codes(pts, lo, inv))
+    assert abs(int(c[0]) - int(c[1])) < abs(int(c[0]) - int(c[2]))
+    assert (c >= 0).all()
+
+
+def test_morton_table_sorted():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(-1, 1, (500, 3)).astype(np.float32))
+    t = build_morton_table(q)
+    codes = np.asarray(t.codes_sorted)
+    assert (np.diff(codes) >= 0).all()
+    # orig_index is a permutation
+    assert sorted(np.asarray(t.orig_index).tolist()) == list(range(500))
+
+
+def test_morton_nn_quality_near_registered():
+    """Near-registered clouds: high exact-NN agreement with brute force, and
+    the (rare) misses are still near-nearest in aggregate."""
+    rng = np.random.default_rng(4)
+    q = rng.uniform(-2, 2, size=(6000, 3)).astype(np.float32)
+    p = (q + rng.normal(scale=0.002, size=q.shape)).astype(np.float32)
+
+    table = build_morton_table(jnp.asarray(q))
+    order = source_morton_order(jnp.asarray(p), table)
+    p_sorted = jnp.take(jnp.asarray(p), order, axis=0)
+
+    matched, dmin, idx_sorted, _ = morton_nn(p_sorted, table,
+                                             chunk=256, window=512)
+    ref_idx, ref_d = np_nn(np.asarray(p_sorted), q)
+    got_idx = np.asarray(table.orig_index)[np.asarray(idx_sorted)]
+    agree = (got_idx == ref_idx).mean()
+    assert agree > 0.98, agree
+    # the tail of misses is small: <2% of rows land farther than 2x the true
+    # NN distance (squared: 4x)
+    bad = (np.asarray(dmin) > np.maximum(4.0 * ref_d, 1e-10)).mean()
+    assert bad < 0.02, bad
+
+
+def test_morton_nn_matched_points_consistent():
+    rng = np.random.default_rng(5)
+    q = rng.uniform(-1, 1, size=(3000, 3)).astype(np.float32)
+    p = (q[:1000] + 0.001).astype(np.float32)
+    table = build_morton_table(jnp.asarray(q))
+    order = source_morton_order(jnp.asarray(p), table)
+    p_sorted = jnp.take(jnp.asarray(p), order, axis=0)
+    matched, dmin, idx_sorted, _ = morton_nn(p_sorted, table)
+    # matched points == target rows at idx
+    np.testing.assert_allclose(
+        np.asarray(matched),
+        q[np.asarray(table.orig_index)[np.asarray(idx_sorted)]],
+        atol=0,
+    )
+    # distances consistent with matched points
+    d_check = ((np.asarray(p_sorted) - np.asarray(matched)) ** 2).sum(1)
+    np.testing.assert_allclose(np.asarray(dmin), d_check, rtol=1e-3, atol=1e-6)
+
+
+def test_morton_nn_with_target_mask():
+    rng = np.random.default_rng(6)
+    q = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+    mask = np.ones(2000, bool)
+    mask[1000:] = False
+    table = build_morton_table(jnp.asarray(q), jnp.asarray(mask))
+    p = (q[:500] + 0.001).astype(np.float32)
+    order = source_morton_order(jnp.asarray(p), table)
+    p_sorted = jnp.take(jnp.asarray(p), order, axis=0)
+    _, _, idx_sorted, _ = morton_nn(p_sorted, table)
+    orig = np.asarray(table.orig_index)[np.asarray(idx_sorted)]
+    assert (orig < 1000).all()
+
+
+def test_icp_morton_matcher_point_metric():
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.uniform(-2, 2, (8000, 3)).astype(np.float32))
+    gt = f.gt_transform((0.004, -0.003, 0.002), (0.002, -0.003, 0.002))
+    tgt = gt.apply(src)
+    res = f.run_icp(src, tgt, f.ICPConfig(matcher="morton", max_iterations=30))
+    assert float(f.transform_rmse(res.transform, gt, src)) < 1e-4
+    # points output is un-permuted back to input order
+    np.testing.assert_allclose(np.asarray(res.points), np.asarray(tgt),
+                               atol=1e-2)
+
+
+def test_icp_morton_matcher_plane_metric():
+    scene = f.synthetic_scene(width=40)
+    gt = f.gt_transform((0.005, -0.004, 0.003), (0.004, -0.002, 0.003))
+    tgt = gt.apply(scene.source)
+    res = f.run_icp(scene.source, tgt,
+                    f.ICPConfig(metric="plane", matcher="morton",
+                                max_iterations=30))
+    assert float(f.transform_rmse(res.transform, gt, scene.source)) < 1e-4
+
+
+def test_coarse_to_fine_with_morton_default():
+    from fpcr_tpu.models.pipeline import icp_coarse_to_fine
+
+    scene = f.synthetic_scene(width=64)
+    res = icp_coarse_to_fine(scene.source, scene.target, coarse_points=1024)
+    assert float(f.transform_rmse(res.transform, scene.ground_truth, scene.source)) < 5e-4
