@@ -16,8 +16,6 @@ from __future__ import annotations
 
 from typing import Iterable, List, Optional, Sequence, Tuple
 
-import jax
-
 from ..data.synthetic import synthetic_scene
 from ..models.icp import ICPConfig, run_icp
 from ..utils.csvout import write_rows

@@ -9,7 +9,7 @@ RMSE sequence decaying to ~0.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,6 @@ Composes the two transforms into one source→target estimate.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Optional
 

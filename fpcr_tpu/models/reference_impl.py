@@ -11,7 +11,7 @@ it is deliberately simple, sequential, and dependency-free.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -42,18 +42,22 @@ from ..core.cloud import round_up
 _BIG = float("inf")
 
 
-def pairwise_sqdist(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+def pairwise_sqdist(p: jnp.ndarray, q: jnp.ndarray,
+                    precision=None) -> jnp.ndarray:
     """Squared Euclidean distances ``[n, m]`` via the MXU-friendly
-    ``|p|² - 2p·q + |q|²`` expansion (f32 accumulation)."""
+    ``|p|² - 2p·q + |q|²`` expansion (f32 accumulation).
+
+    ``precision=None`` → HIGHEST (full f32: TPU default bf16 passes perturb
+    distances ~0.4% and break argmin parity near ties). Pass
+    ``jax.lax.Precision.DEFAULT`` for the fast bf16 path when approximate
+    matches are acceptable (ICP self-corrects across iterations)."""
     p_sq = jnp.sum(p * p, axis=-1, keepdims=True)  # [n, 1]
     q_sq = jnp.sum(q * q, axis=-1)  # [m]
     cross = jax.lax.dot_general(
         p, q,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        # Full f32: TPU default precision is bf16 passes, which perturbs
-        # distances by ~0.4% and breaks argmin parity near ties.
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision or jax.lax.Precision.HIGHEST,
     )  # [n, m] on the MXU
     # clamp: f32 cancellation can drive near-zero distances slightly
     # negative, which breaks downstream robust statistics

@@ -21,7 +21,6 @@ take ``axis_name``. This file just wires it into ``shard_map``.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

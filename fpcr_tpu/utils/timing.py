@@ -92,10 +92,7 @@ def profile_icp(
     diagnostic twin of the production single-jit loop, reproducing the
     reference's matching/minimization/transformation/error breakdown.
     """
-    import jax.numpy as jnp
-
     from ..core.metrics import rmse
-    from ..models.icp import ICPConfig  # noqa: F401  (typing)
     from ..ops.matching import gather_correspondences, nn_argmin
     from ..ops.normals import estimate_normals
     from ..ops.solve import kabsch_transform, point_to_plane_transform

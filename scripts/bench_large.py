@@ -75,9 +75,10 @@ if __name__ == "__main__":
     import sys as _sys
     which = _sys.argv[1] if len(_sys.argv) > 1 else "morton"
     if which == "grid":
+        # NOTE: grid at 1M crashed the TPU worker in this environment
+        # (gather pressure); the morton matcher is the supported 1M path.
         bench_size(128, "grid")
         bench_size(512, "grid")
-        bench_size(1024, "grid")
     else:
         bench_size(128, "morton")    # 16,384
         bench_size(512, "morton")    # 262,144
