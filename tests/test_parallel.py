@@ -62,3 +62,17 @@ def test_distributed_smaller_mesh():
     dist = distributed_icp(scene.source, scene.target,
                            f.ICPConfig(max_iterations=40), mesh=mesh2)
     assert float(f.transform_rmse(dist.transform, scene.ground_truth, scene.source)) < 1e-4
+
+
+def test_distributed_morton_matcher(mesh8):
+    """Morton matcher under shard_map: per-shard local sort + banded match,
+    psum'd moments; matches GT."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    src = jnp.asarray(rng.uniform(-2, 2, (4096, 3)).astype(np.float32))
+    gt = f.gt_transform((0.004, -0.003, 0.002), (0.002, -0.003, 0.002))
+    tgt = gt.apply(src)
+    cfg = f.ICPConfig(matcher="morton", max_iterations=20)
+    dist = distributed_icp(src, tgt, cfg, mesh=mesh8)
+    assert float(f.transform_rmse(dist.transform, gt, src)) < 1e-4
