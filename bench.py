@@ -93,6 +93,24 @@ def main() -> None:
     ms_per_iter = (t_hi - t_lo) * 1e3 / (args.hi - args.lo)
     platform = jax.devices()[0].platform
 
+    # secondary: the production morton fast path (approximate matcher +
+    # robust auto-trim) on the same workload, for the details record
+    morton_ms = None
+    if args.matcher == "xla":
+        try:
+            def make_morton(iters):
+                cfg = f.ICPConfig(matcher="morton", max_iterations=iters,
+                                  tolerance=0.0)
+                def run(s, t):
+                    return f.run_icp(s, t, cfg)
+                float(run(source, target).errors[-1])
+                return run
+            m_lo = _timed_run(make_morton(args.lo), source, target, eps, 3)
+            m_hi = _timed_run(make_morton(args.hi), source, target, eps, 3)
+            morton_ms = (m_hi - m_lo) * 1e3 / (args.hi - args.lo)
+        except Exception:
+            morton_ms = None
+
     res = run_hi(source, target)
     details = {
         "platform": platform,
@@ -104,6 +122,7 @@ def main() -> None:
         "t_hi_ms": t_hi * 1e3,
         "overhead_ms_estimate": t_lo * 1e3 - args.lo * ms_per_iter,
         "final_error_hi": float(res.errors[args.hi - 1]),
+        "morton_fast_path_ms_per_iter": morton_ms,
         "baseline": {
             "ms_per_iter": BASELINE_MS_PER_ITER_16384,
             "hardware": "RTX 2060",

@@ -77,6 +77,7 @@ class ICPConfig:
     # morton windowed matcher (the large-N fast path; see ops/morton.py)
     morton_chunk: int = 256
     morton_window: int = 512
+    morton_unroll: int = 8
 
     def __post_init__(self):
         if self.metric not in ("point", "plane"):
@@ -171,6 +172,7 @@ def _correspondences(points, target, target_mask, target_normals,
         q_m, dmin, _, n_m = morton_nn(
             points, table, normals_sorted,
             chunk=config.morton_chunk, window=config.morton_window,
+            unroll=config.morton_unroll,
         )
         return q_m, n_m, dmin, None
     idx, dmin, found = _match(points, target, target_mask, config,

@@ -119,13 +119,14 @@ def source_morton_order(p: jnp.ndarray, table: MortonTable) -> jnp.ndarray:
     return jnp.argsort(codes).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "window"))
+@functools.partial(jax.jit, static_argnames=("chunk", "window", "unroll"))
 def morton_nn(
     p: jnp.ndarray,
     table: MortonTable,
     extra: Optional[jnp.ndarray] = None,
     chunk: int = 256,
     window: int = 1024,
+    unroll: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Windowed NN against the Morton table.
 
@@ -159,8 +160,7 @@ def morton_nn(
     ranks = jnp.searchsorted(table.codes_sorted, probe_codes).astype(jnp.int32)
     bases = jnp.clip(ranks - (band // 2), 0, m_pad - band)
 
-    def per_chunk(args):
-        pc, base = args  # [chunk, 3], scalar
+    def one_chunk(pc, base):
         tb = lax.dynamic_slice(t_sorted, (base, jnp.int32(0)), (band, 3))
         vmask = lax.dynamic_slice(valid_rows, (base,), (band,))
         d = pairwise_sqdist(pc, tb)
@@ -176,8 +176,23 @@ def morton_nn(
             eb = jnp.take(eband, arg, axis=0)
         return matched, dmin, base + arg, eb
 
+    # Statically unroll `unroll` chunks per map step: each per-chunk tile is
+    # tiny (band reads + a [chunk, band] distance block), so the XLA loop
+    # step overhead (~8 µs on the TPU runtime) would dominate at large N.
+    u = unroll
+    while num_chunks % u:
+        u //= 2
+    u = max(u, 1)
+
+    def per_group(args):
+        pcs, bs = args  # [u, chunk, 3], [u]
+        outs = [one_chunk(pcs[i], bs[i]) for i in range(u)]
+        return tuple(jnp.stack([o[k] for o in outs]) for k in range(4))
+
     matched, dmin, idx_sorted, exm = lax.map(
-        per_chunk, (p_sorted.reshape(num_chunks, chunk, 3), bases)
+        per_group,
+        (p_sorted.reshape(num_chunks // u, u, chunk, 3),
+         bases.reshape(num_chunks // u, u)),
     )
     matched = matched.reshape(n_pad, 3)[:n]
     dmin = dmin.reshape(n_pad)[:n]

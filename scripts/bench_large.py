@@ -41,7 +41,7 @@ def slope_time(run, src, tgt, lo_res, hi_res, lo, hi, repeats=3):
 
 
 def bench_size(width: int, matcher: str, lo=5, hi=25, cap=12, window=512,
-               chunk=256):
+               chunk=256, unroll=8):
     scene = f.synthetic_scene(width=width)
     n = scene.source.shape[0]
     # near-registered regime (the per-iteration cost measurement; the
@@ -54,6 +54,7 @@ def bench_size(width: int, matcher: str, lo=5, hi=25, cap=12, window=512,
         cfg = f.ICPConfig(matcher=matcher, max_iterations=iters,
                           tolerance=0.0, grid_cap=cap,
                           morton_window=window, morton_chunk=chunk,
+                          morton_unroll=unroll,
                           source_chunk=65536 if matcher == "grid" else 2048)
         def run(s, t):
             return f.run_icp(s, t, cfg)
@@ -82,6 +83,7 @@ if __name__ == "__main__":
     else:
         bench_size(128, "morton")    # 16,384
         bench_size(512, "morton")    # 262,144
-        bench_size(1024, "morton")   # 1,048,576 — the north star
-        bench_size(1024, "morton", window=256)
-        bench_size(1024, "morton", window=1024)
+        bench_size(1024, "morton")   # 1M, w=512 u=8
+        bench_size(1024, "morton", window=256, unroll=16)
+        bench_size(1024, "morton", window=256, chunk=512, unroll=8)
+        bench_size(1024, "morton", window=128, chunk=256, unroll=16)

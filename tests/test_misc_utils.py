@@ -1,0 +1,51 @@
+"""platform helpers, multihost bounds, pipeline defaults, matching precision."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpcr_tpu.parallel.multihost import initialize_multihost, local_shard_bounds
+from fpcr_tpu.utils.platform import backend_name, on_tpu
+
+
+def test_platform_helpers_cpu():
+    assert backend_name() == "cpu"  # conftest forces cpu
+    assert not on_tpu()
+
+
+def test_initialize_multihost_noop_without_env(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize_multihost() is False
+
+
+def test_local_shard_bounds_single_process():
+    lo, hi = local_shard_bounds(1000)
+    assert (lo, hi) == (0, 1000)
+
+
+def test_matching_precision_default_vs_highest():
+    from fpcr_tpu.ops.matching import pairwise_sqdist
+
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32))
+    d_hi = np.asarray(pairwise_sqdist(p, q))
+    d_lo = np.asarray(pairwise_sqdist(p, q, precision=jax.lax.Precision.DEFAULT))
+    # on CPU both are f32 exact; the call path just must work
+    np.testing.assert_allclose(d_hi, d_lo, rtol=1e-2, atol=1e-2)
+    assert (d_hi >= 0).all()
+
+
+def test_morton_unroll_variants_agree():
+    from fpcr_tpu.ops.morton import build_morton_table, morton_nn, source_morton_order
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.uniform(-1, 1, (2048, 3)).astype(np.float32))
+    p = q + 0.001
+    table = build_morton_table(q)
+    order = source_morton_order(p, table)
+    ps = jnp.take(p, order, axis=0)
+    m1, d1, i1, _ = morton_nn(ps, table, unroll=1)
+    m8, d8, i8, _ = morton_nn(ps, table, unroll=8)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i8))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d8), atol=0)
