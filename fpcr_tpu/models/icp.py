@@ -76,8 +76,9 @@ class ICPConfig:
     grid_table_bits: int = 20
     # morton windowed matcher (the large-N fast path; see ops/morton.py)
     morton_chunk: int = 256
-    morton_window: int = 512
-    morton_unroll: int = 8
+    morton_window: int = 256
+    morton_unroll: int = 16
+    morton_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
 
     def __post_init__(self):
         if self.metric not in ("point", "plane"):
@@ -166,10 +167,15 @@ def _correspondences(points, target, target_mask, target_normals,
     dense target bands — no index gathers anywhere in the loop body.
     """
     if config.matcher == "morton":
-        from ..ops.morton import morton_nn
-
         table, normals_sorted = matcher_state
-        q_m, dmin, _, n_m = morton_nn(
+        impl = config.morton_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            from ..ops.morton_pallas import morton_nn_pallas as nn_fn
+        else:
+            from ..ops.morton import morton_nn as nn_fn
+        q_m, dmin, _, n_m = nn_fn(
             points, table, normals_sorted,
             chunk=config.morton_chunk, window=config.morton_window,
             unroll=config.morton_unroll,

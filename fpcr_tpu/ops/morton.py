@@ -150,7 +150,6 @@ def morton_nn(
     m = table.points_sorted.shape[0]
     m_pad = max(round_up(m, 8), band)
     t_sorted = _pad_to(table.points_sorted, m_pad, 0.0)
-    valid_rows = jnp.arange(m_pad) < table.valid_count
     e_sorted = None if extra is None else _pad_to(
         extra.astype(jnp.float32), m_pad, 0.0)
 
@@ -160,11 +159,14 @@ def morton_nn(
     ranks = jnp.searchsorted(table.codes_sorted, probe_codes).astype(jnp.int32)
     bases = jnp.clip(ranks - (band // 2), 0, m_pad - band)
 
+    band_iota = lax.broadcasted_iota(jnp.int32, (1, band), 1)
+
     def one_chunk(pc, base):
         tb = lax.dynamic_slice(t_sorted, (base, jnp.int32(0)), (band, 3))
-        vmask = lax.dynamic_slice(valid_rows, (base,), (band,))
+        # validity computed arithmetically — one fewer DMA per chunk
+        vmask = (base + band_iota) < table.valid_count
         d = pairwise_sqdist(pc, tb)
-        d = jnp.where(vmask[None, :], d, jnp.inf)
+        d = jnp.where(vmask, d, jnp.inf)
         arg = jnp.argmin(d, axis=1).astype(jnp.int32)
         dmin = jnp.min(d, axis=1)
         matched = jnp.take(tb, arg, axis=0)  # VMEM-local select

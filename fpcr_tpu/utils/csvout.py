@@ -35,3 +35,34 @@ def write_json(path: Union[str, Path], payload: Mapping) -> Path:
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(payload, indent=2, default=float) + "\n")
     return path
+
+
+def iteration_metrics(result) -> list:
+    """Structured per-iteration records from an ICPResult/ICPHistory —
+    the observability layer the reference's printf dumps approximate
+    (SURVEY.md §5 'Metrics / logging')."""
+    import numpy as np
+
+    errors = np.asarray(result.errors)
+    ni = int(result.num_iterations)
+    records = []
+    prev = None
+    for i in range(ni):
+        e = float(errors[i])
+        records.append({
+            "iteration": i,
+            "rmse": e,
+            "delta_rmse": None if prev is None else e - prev,
+        })
+        prev = e
+    return records
+
+
+def write_iteration_metrics(path, result) -> "Path":
+    recs = iteration_metrics(result)
+    return write_rows(
+        path,
+        [(r["iteration"], r["rmse"],
+          "" if r["delta_rmse"] is None else r["delta_rmse"]) for r in recs],
+        header=["iteration", "rmse", "delta_rmse"],
+    )

@@ -124,3 +124,31 @@ def test_coarse_to_fine_with_morton_default():
     scene = f.synthetic_scene(width=64)
     res = icp_coarse_to_fine(scene.source, scene.target, coarse_points=1024)
     assert float(f.transform_rmse(res.transform, scene.ground_truth, scene.source)) < 5e-4
+
+
+def test_morton_pallas_impl_matches_xla_impl():
+    """morton_impl='pallas' (interpret on CPU) equals morton_impl='xla'."""
+    rng = np.random.default_rng(9)
+    src = jnp.asarray(rng.uniform(-2, 2, (2048, 3)).astype(np.float32))
+    gt = f.gt_transform((0.004, -0.003, 0.002), (0.002, -0.003, 0.002))
+    tgt = gt.apply(src)
+    res_x = f.run_icp(src, tgt, f.ICPConfig(matcher="morton", max_iterations=10,
+                                            morton_impl="xla"))
+    res_p = f.run_icp(src, tgt, f.ICPConfig(matcher="morton", max_iterations=10,
+                                            morton_impl="pallas"))
+    np.testing.assert_allclose(np.asarray(res_x.transform.rotation),
+                               np.asarray(res_p.transform.rotation), atol=1e-6)
+    ni = int(res_x.num_iterations)
+    np.testing.assert_allclose(np.asarray(res_x.errors)[:ni],
+                               np.asarray(res_p.errors)[:int(res_p.num_iterations)],
+                               atol=1e-6)
+
+
+def test_morton_pallas_impl_plane_metric():
+    scene = f.synthetic_scene(width=32)
+    gt = f.gt_transform((0.005, -0.004, 0.003), (0.004, -0.002, 0.003))
+    tgt = gt.apply(scene.source)
+    res = f.run_icp(scene.source, tgt,
+                    f.ICPConfig(metric="plane", matcher="morton",
+                                morton_impl="pallas", max_iterations=20))
+    assert float(f.transform_rmse(res.transform, gt, scene.source)) < 1e-4
