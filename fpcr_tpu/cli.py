@@ -67,6 +67,8 @@ def _cmd_run(args) -> int:
         max_correspondence_dist=args.trim_dist,
         grid_cell_size=args.grid_cell_size,
         grid_cap=args.grid_cap,
+        morton_window=args.morton_window,
+        morton_impl=args.morton_impl,
     )
 
     if args.profile:
@@ -200,6 +202,9 @@ def main(argv=None) -> int:
     run.add_argument("--coarse-points", type=int, default=4096)
     run.add_argument("--grid-cell-size", type=float, default=None)
     run.add_argument("--grid-cap", type=int, default=8)
+    run.add_argument("--morton-window", type=int, default=256)
+    run.add_argument("--morton-impl", default="auto",
+                     choices=["auto", "xla", "pallas"])
     run.add_argument("--distributed", action="store_true",
                      help="shard source points over all devices")
     run.add_argument("--profile", action="store_true",

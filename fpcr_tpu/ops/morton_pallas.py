@@ -5,17 +5,21 @@ dispatch/DMA-issue overhead per band slice, which dominates at 1M points
 (thousands of tiny [chunk, band] tiles). This kernel removes it:
 
 * the per-chunk band *offsets* (Morton ranks, computed outside with one
-  cheap searchsorted) arrive via **scalar prefetch**, so the kernel can
-  issue its band DMAs itself;
+  cheap searchsorted) arrive via **scalar prefetch**, so the kernel issues
+  its own band DMAs;
+* everything is laid out **lane-major/transposed** — the augmented target
+  table is ``[8, M]`` (a band is a 128-aligned lane slice, exactly what
+  Mosaic DMA wants), sources are ``[8, N]``, per-point scalars are
+  ``[num_chunks, chunk]`` — so no VMEM block wastes lanes (a ``[rows, 1]``
+  block would pad its lane dim 128×, which OOMs VMEM at 1M points);
 * each grid step processes ``unroll`` consecutive chunks with **manually
-  double-buffered** HBM→VMEM band copies — DMA for chunk j+1 overlaps the
-  distance compute of chunk j;
-* distances use the augmented-matmul trick from ops/matching_pallas.py
-  (``p̂ = [-2p, 1]``, ``q̂ = [q, |q|²]`` → one MXU pass per band), with
-  invalid/padded target rows encoded as a huge ``|q|²`` surrogate — no
-  masking pass at all;
+  double-buffered** HBM→VMEM band copies — the DMA for chunk j+1 overlaps
+  the distance compute of chunk j;
+* distances use the augmented-matmul trick (``p̂ = [-2p, 1]``,
+  ``q̂ = [q, |q|²]`` → one MXU pass per band), with invalid/padded target
+  rows encoded as a huge ``|q|²`` surrogate — no masking pass at all;
 * matched coordinates (and optionally a second per-target table, e.g.
-  normals) are extracted **in-kernel** with a one-hot × band matmul on the
+  normals) are extracted **in-kernel** with a band × one-hot matmul on the
   MXU — the ICP loop body stays completely free of HBM gathers.
 
 Reference counterpart: none (the CUDA reference is brute force only); this
@@ -36,31 +40,32 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.cloud import round_up
 from .morton import MortonTable, morton_codes
 
-_LANES = 8
+_SUBLANES = 8  # augmented coordinate rows in the transposed tables
 _INVALID_SURROGATE = 1e30
+_ALIGN = 128  # lane-dim DMA alignment required by Mosaic tiling
 
 
 def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool):
     def kernel(*refs):
         if with_extra:
-            (bases_ref, p_ref, psq_ref, q_hbm, e_hbm,
+            (bases_ref, pt_ref, psq_ref, q_hbm, e_hbm,
              out_d, out_i, out_q, out_e, qbuf, ebuf, sems, esems) = refs
         else:
-            (bases_ref, p_ref, psq_ref, q_hbm,
+            (bases_ref, pt_ref, psq_ref, q_hbm,
              out_d, out_i, out_q, qbuf, sems) = refs
         g = pl.program_id(0)
 
         def q_dma(slot, j):
-            base = bases_ref[g * unroll + j]
+            base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
             return pltpu.make_async_copy(
-                q_hbm.at[pl.ds(base, band), :], qbuf.at[slot], sems.at[slot]
+                q_hbm.at[:, pl.ds(base, band)], qbuf.at[slot], sems.at[slot]
             )
 
         if with_extra:
             def e_dma(slot, j):
-                base = bases_ref[g * unroll + j]
+                base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
                 return pltpu.make_async_copy(
-                    e_hbm.at[pl.ds(base, band), :], ebuf.at[slot],
+                    e_hbm.at[:, pl.ds(base, band)], ebuf.at[slot],
                     esems.at[slot]
                 )
 
@@ -68,7 +73,7 @@ def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool):
         if with_extra:
             e_dma(0, 0).start()
 
-        col_iota = lax.broadcasted_iota(jnp.int32, (chunk, band), 1)
+        row_iota = lax.broadcasted_iota(jnp.int32, (band, chunk), 0)
 
         for j in range(unroll):  # static unroll — straight-line code
             slot = j % 2
@@ -80,37 +85,41 @@ def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool):
             if with_extra:
                 e_dma(slot, j).wait()
 
-            rows = pl.ds(j * chunk, chunk)
-            pc = p_ref[rows, :]  # [chunk, 8] augmented
-            band_q = qbuf[slot]  # [band, 8]
+            cols = pl.ds(j * chunk, chunk)
+            pcT = pt_ref[:, cols]  # [8, chunk] augmented source slab
+            band_q = qbuf[slot]  # [8, band] transposed augmented target
             cross = jax.lax.dot_general(
-                pc, band_q,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                band_q, pcT,
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # [chunk, band] = |q|² - 2 p·q (surrogate rows are huge)
-            d = cross + psq_ref[rows, :]  # + |p|² (column broadcast)
+            )  # [band, chunk] = |q|² - 2 p·q (surrogate rows are huge)
+            d = cross + psq_ref[pl.ds(j, 1), :]  # + |p|² row broadcast
 
-            arg = jnp.argmin(d, axis=1).astype(jnp.int32)
-            dmin = jnp.min(d, axis=1)
-            onehot = (col_iota == arg[:, None]).astype(jnp.float32)
+            arg = jnp.argmin(d, axis=0).astype(jnp.int32)  # [chunk]
+            dmin = jnp.min(d, axis=0)
+            onehot = (row_iota == arg[None, :]).astype(jnp.float32)
             matched_q = jax.lax.dot_general(
-                onehot, band_q,
+                band_q, onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [chunk, 8] — in-VMEM row extraction on the MXU
+                # HIGHEST: default bf16 passes would round the *extracted
+                # coordinates* to bf16 and cap ICP at ~1e-3 accuracy
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [8, chunk] — in-VMEM column extraction on the MXU
 
             base = bases_ref[g * unroll + j]
-            out_d[rows, :] = dmin[:, None]
-            out_i[rows, :] = base + arg[:, None]
-            out_q[rows, :] = matched_q
+            out_d[pl.ds(j, 1), :] = dmin[None, :]
+            out_i[pl.ds(j, 1), :] = (base + arg)[None, :]
+            out_q[pl.ds(j, 1), :, :] = matched_q[None, :, :]
             if with_extra:
                 matched_e = jax.lax.dot_general(
-                    onehot, ebuf[slot],
+                    ebuf[slot], onehot,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
-                out_e[rows, :] = matched_e
+                out_e[pl.ds(j, 1), :, :] = matched_e[None, :, :]
 
     return kernel
 
@@ -145,83 +154,89 @@ def morton_nn_pallas(
     u = max(u, 1)
     num_groups = num_chunks // u
 
-    band = round_up(chunk + 2 * window, 128)
+    # +_ALIGN slack: bases are rounded down to the 128-lane alignment, which
+    # can shift the window by up to 127 rows
+    band = round_up(chunk + 2 * window + _ALIGN, _ALIGN)
 
-    # augmented source: p̂ = [-2p, 1, 0...], |p|² column
-    p_hat = jnp.zeros((n_pad, _LANES), jnp.float32)
-    p_hat = p_hat.at[:n, :3].set(-2.0 * p)
-    p_hat = p_hat.at[:n, 3].set(1.0)
-    p_sq = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(
-        jnp.sum(p * p, axis=1))
+    # transposed augmented source: p̂T rows = [-2x, -2y, -2z, 1, 0...],
+    # plus the |p|² per-point row laid out [num_chunks, chunk]
+    p_hat_t = jnp.zeros((_SUBLANES, n_pad), jnp.float32)
+    p_hat_t = p_hat_t.at[:3, :n].set(-2.0 * p.T)
+    p_hat_t = p_hat_t.at[3, :n].set(1.0)
+    p_sq = jnp.zeros((n_pad,), jnp.float32).at[:n].set(jnp.sum(p * p, axis=1))
+    p_sq = p_sq.reshape(num_chunks, chunk)
 
-    # augmented target in Morton order: q̂ = [q, |q|², 0...]; rows beyond
-    # valid_count (masked) and band padding get the huge surrogate
+    # transposed augmented target in Morton order: q̂T[0:3] = coords,
+    # q̂T[3] = |q|² (huge surrogate for masked rows and band padding)
     m = table.points_sorted.shape[0]
-    m_pad = round_up(m, 8) + band  # slack so any base+band fits
+    m_pad = round_up(m, _ALIGN) + band
     q = table.points_sorted
     q_sq = jnp.sum(q * q, axis=1)
     row_ids = jnp.arange(m)
     q_sq = jnp.where(row_ids < table.valid_count, q_sq, _INVALID_SURROGATE)
-    q_hat = jnp.zeros((m_pad, _LANES), jnp.float32)
-    q_hat = q_hat.at[:m, :3].set(q)
-    q_hat = q_hat.at[:m, 3].set(q_sq)
-    q_hat = q_hat.at[m:, 3].set(_INVALID_SURROGATE)
+    q_hat_t = jnp.zeros((_SUBLANES, m_pad), jnp.float32)
+    q_hat_t = q_hat_t.at[:3, :m].set(q.T)
+    q_hat_t = q_hat_t.at[3, :m].set(q_sq)
+    q_hat_t = q_hat_t.at[3, m:].set(_INVALID_SURROGATE)
 
-    e_hat = None
+    e_hat_t = None
     if extra is not None:
-        e_hat = jnp.zeros((m_pad, _LANES), jnp.float32)
-        e_hat = e_hat.at[:m, :3].set(extra.astype(jnp.float32))
+        e_hat_t = jnp.zeros((_SUBLANES, m_pad), jnp.float32)
+        e_hat_t = e_hat_t.at[:3, :m].set(extra.astype(jnp.float32).T)
 
-    # per-chunk band bases (8-aligned for efficient DMA), via one searchsorted
+    # per-chunk band bases (128-aligned for the lane-dim DMA), via one
+    # searchsorted over the N/chunk probe codes
     p_padded = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(p)
     probe_pts = p_padded.reshape(num_chunks, chunk, 3)[:, chunk // 2, :]
     probe_codes = morton_codes(probe_pts, table.lo, table.inv_extent)
     ranks = jnp.searchsorted(table.codes_sorted, probe_codes).astype(jnp.int32)
-    bases = jnp.clip(ranks - (band // 2), 0, m_pad - band) & ~jnp.int32(7)
+    bases = jnp.clip(ranks - (band // 2), 0, m_pad - band) & ~jnp.int32(_ALIGN - 1)
 
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    with_extra = e_hat is not None
+    with_extra = e_hat_t is not None
     kernel = _band_kernel_factory(chunk, band, u, with_extra)
 
     in_specs = [
-        pl.BlockSpec((u * chunk, _LANES), lambda g, *_: (g, 0),
+        pl.BlockSpec((_SUBLANES, u * chunk), lambda g, *_: (0, g),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((u * chunk, 1), lambda g, *_: (g, 0),
+        pl.BlockSpec((u, chunk), lambda g, *_: (g, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # q̂ stays in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),  # q̂T stays in HBM
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-        jax.ShapeDtypeStruct((n_pad, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((num_chunks, chunk), jnp.float32),
+        jax.ShapeDtypeStruct((num_chunks, chunk), jnp.int32),
+        jax.ShapeDtypeStruct((num_chunks, _SUBLANES, chunk), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((u * chunk, 1), lambda g, *_: (g, 0),
+        pl.BlockSpec((u, chunk), lambda g, *_: (g, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((u * chunk, 1), lambda g, *_: (g, 0),
+        pl.BlockSpec((u, chunk), lambda g, *_: (g, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((u * chunk, _LANES), lambda g, *_: (g, 0),
+        pl.BlockSpec((u, _SUBLANES, chunk), lambda g, *_: (g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     scratch = [
-        pltpu.VMEM((2, band, _LANES), jnp.float32),
+        pltpu.VMEM((2, _SUBLANES, band), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    operands = [p_hat, p_sq, q_hat]
+    operands = [p_hat_t, p_sq, q_hat_t]
     if with_extra:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-        out_shape.append(jax.ShapeDtypeStruct((n_pad, _LANES), jnp.float32))
-        out_specs.append(pl.BlockSpec((u * chunk, _LANES), lambda g, *_: (g, 0),
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_chunks, _SUBLANES, chunk), jnp.float32))
+        out_specs.append(pl.BlockSpec((u, _SUBLANES, chunk),
+                                      lambda g, *_: (g, 0, 0),
                                       memory_space=pltpu.VMEM))
         scratch = [
-            pltpu.VMEM((2, band, _LANES), jnp.float32),
-            pltpu.VMEM((2, band, _LANES), jnp.float32),
+            pltpu.VMEM((2, _SUBLANES, band), jnp.float32),
+            pltpu.VMEM((2, _SUBLANES, band), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-        operands = [p_hat, p_sq, q_hat, e_hat]
+        operands = [p_hat_t, p_sq, q_hat_t, e_hat_t]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -239,12 +254,12 @@ def morton_nn_pallas(
 
     if with_extra:
         best_d, best_i, matched_q, matched_e = outs
-        matched_e = matched_e[:n, :3]
+        matched_e = matched_e.transpose(0, 2, 1).reshape(n_pad, _SUBLANES)[:n, :3]
     else:
         best_d, best_i, matched_q = outs
         matched_e = None
 
-    matched = matched_q[:n, :3]
-    dmin = jnp.maximum(best_d[:n, 0], 0.0)
-    idx_sorted = jnp.clip(best_i[:n, 0], 0, m - 1)
+    matched = matched_q.transpose(0, 2, 1).reshape(n_pad, _SUBLANES)[:n, :3]
+    dmin = jnp.maximum(best_d.reshape(n_pad)[:n], 0.0)
+    idx_sorted = jnp.clip(best_i.reshape(n_pad)[:n], 0, m - 1)
     return matched, dmin, idx_sorted, matched_e
