@@ -91,8 +91,42 @@ def main():
               flush=True)
     report["morton_scaling"] = large
 
+    # 4) end-to-end dataset workloads (the reference's program inventory)
+    import fpcr_tpu.data.bunny as bunny
+    import fpcr_tpu.data.ouster as ouster
+
+    e2e = {}
+    for name, scene, metric, iters in (
+        ("bunny_point", bunny.bunny_scene(), "point", 40),
+        ("bunny_plane", bunny.bunny_scene(), "plane", 40),
+        ("hall_plane", ouster.hall_scene(), "plane", 100),
+    ):
+        cfg = f.ICPConfig(metric=metric, max_iterations=iters)
+        res = f.run_icp(scene.source, scene.target, cfg)  # compile+run
+        t0 = time.perf_counter()
+        res = f.run_icp(scene.source + np.float32(1e-7),
+                        scene.target + np.float32(1e-7), cfg)
+        sync(res.errors[-1:])
+        wall = time.perf_counter() - t0
+        rmse = float(f.transform_rmse(res.transform, scene.ground_truth,
+                                      scene.source))
+        e2e[name] = {"wall_s": wall, "iters": int(res.num_iterations),
+                     "transform_rmse_vs_gt": rmse}
+        print(f"e2e {name}: {wall:.3f}s {int(res.num_iterations)} iters "
+              f"rmse {rmse:.2e}", flush=True)
+    report["end_to_end"] = e2e
+
     (OUT / "tpu_report.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report), flush=True)
+
+    # 5) comparison plot
+    try:
+        import subprocess
+        subprocess.run([sys.executable, "/root/repo/scripts/plot_comparison.py",
+                        str(OUT / "tpu_sweep_point.csv"),
+                        str(OUT / "time_complexity.png")], check=True)
+    except Exception as exc:
+        print(f"plot skipped: {exc}", flush=True)
 
 
 if __name__ == "__main__":

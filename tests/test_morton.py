@@ -152,3 +152,32 @@ def test_morton_pallas_impl_plane_metric():
                     f.ICPConfig(metric="plane", matcher="morton",
                                 morton_impl="pallas", max_iterations=20))
     assert float(f.transform_rmse(res.transform, gt, scene.source)) < 1e-4
+
+
+def test_morton_tiny_cloud_smaller_than_chunk():
+    rng = np.random.default_rng(12)
+    src = jnp.asarray(rng.uniform(-1, 1, (50, 3)).astype(np.float32))
+    gt = f.gt_transform((0.01, -0.01, 0.005), (0.01, -0.005, 0.01))
+    res = f.run_icp(src, gt.apply(src),
+                    f.ICPConfig(matcher="morton", max_iterations=30))
+    assert float(f.transform_rmse(res.transform, gt, src)) < 1e-3
+
+
+def test_morton_pallas_tiny_cloud():
+    rng = np.random.default_rng(13)
+    src = jnp.asarray(rng.uniform(-1, 1, (50, 3)).astype(np.float32))
+    gt = f.gt_transform((0.01, -0.01, 0.005), (0.01, -0.005, 0.01))
+    res = f.run_icp(src, gt.apply(src),
+                    f.ICPConfig(matcher="morton", morton_impl="pallas",
+                                max_iterations=30))
+    assert float(f.transform_rmse(res.transform, gt, src)) < 1e-3
+
+
+def test_morton_source_larger_than_target():
+    rng = np.random.default_rng(14)
+    tgt_pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    src = jnp.asarray(np.repeat(tgt_pts, 3, axis=0) +
+                      rng.normal(scale=1e-3, size=(1500, 3)).astype(np.float32))
+    res = f.run_icp(src, jnp.asarray(tgt_pts),
+                    f.ICPConfig(matcher="morton", max_iterations=10))
+    assert np.isfinite(np.asarray(res.transform.rotation)).all()
