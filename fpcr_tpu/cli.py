@@ -65,6 +65,7 @@ def _cmd_run(args) -> int:
         matcher=args.matcher,
         strict_reference=args.strict_reference,
         max_correspondence_dist=args.trim_dist,
+        robust_loss=args.robust,
         grid_cell_size=args.grid_cell_size,
         grid_cap=args.grid_cap,
         morton_window=args.morton_window,
@@ -196,6 +197,8 @@ def main(argv=None) -> int:
                      help="exact reference math (no det(R) correction)")
     run.add_argument("--trim-dist", type=float, default=None,
                      help="max correspondence distance (robust/trimmed ICP)")
+    run.add_argument("--robust", default=None, choices=["huber", "tukey"],
+                     help="IRLS robust loss reweighting")
     run.add_argument("--coarse-to-fine", action="store_true",
                      help="coarse brute-force ICP on subsets, then fine "
                           "grid-matched ICP on the full clouds (large-N path)")

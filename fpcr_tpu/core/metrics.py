@@ -43,7 +43,8 @@ def rmse(
     diff = p - q
     sq = jnp.sum(diff * diff, axis=-1)
     if mask is not None:
-        sq = jnp.where(mask, sq, 0.0)
+        # mask may be boolean (valid/invalid) or float (IRLS weights)
+        sq = sq * mask.astype(sq.dtype)
     total = _psum(jnp.sum(sq), axis_name)
     count = masked_count(mask, p.shape[0], p.dtype, axis_name)
     return jnp.sqrt(total / jnp.maximum(count, 1.0))

@@ -65,6 +65,11 @@ class ICPConfig:
     # 'morton' (whose rare window misses have unbounded distance and would
     # otherwise bias the solve).
     auto_trim: Optional[float] = None
+    # IRLS robust reweighting of the solve: per-iteration weights from the
+    # match residuals (scale = trimmed mean distance). None | 'huber' |
+    # 'tukey'. Extends the reference's (absent) robustness story beyond the
+    # hard trim gate.
+    robust_loss: Optional[str] = None
     source_chunk: int = 2048
     target_tile: int = 2048
     matcher: str = "xla"  # 'xla' | 'pallas' | 'grid' | 'morton'
@@ -87,6 +92,8 @@ class ICPConfig:
             raise ValueError(f"unknown solver {self.solver!r}")
         if self.matcher not in ("xla", "pallas", "grid", "morton"):
             raise ValueError(f"unknown matcher {self.matcher!r}")
+        if self.robust_loss not in (None, "huber", "tukey"):
+            raise ValueError(f"unknown robust_loss {self.robust_loss!r}")
 
 
 class ICPResult(NamedTuple):
@@ -189,6 +196,35 @@ def _correspondences(points, target, target_mask, target_normals,
     return q_m, n_m, dmin, found
 
 
+def _robust_weights(dmin, mask, loss, axis_name):
+    """IRLS weights from squared match distances. Scale = sqrt of the
+    trimmed mean squared distance (robust, branch-free). Huber: w = min(1,
+    k·s/r); Tukey biweight: w = (1 - (r/(k·s))²)² inside, 0 outside."""
+    def _ps(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    dmin = jnp.maximum(dmin, 0.0)
+    finite = jnp.isfinite(dmin)
+    base = finite if mask is None else (
+        (mask > 0 if mask.dtype != jnp.bool_ else mask) & finite)
+    w0 = base.astype(jnp.float32)
+    t = _ps(jnp.sum(jnp.where(base, dmin, 0.0))) / jnp.maximum(
+        _ps(jnp.sum(w0)), 1.0)
+    keep = (dmin <= t) & base
+    t = (_ps(jnp.sum(jnp.where(keep, dmin, 0.0)))
+         / jnp.maximum(_ps(jnp.sum(keep.astype(jnp.float32))), 1.0))
+    s = jnp.sqrt(jnp.maximum(t, 1e-30))
+    r = jnp.sqrt(dmin)
+    if loss == "huber":
+        k = 1.345 * s
+        w = jnp.minimum(1.0, k / jnp.maximum(r, 1e-30))
+    else:  # tukey biweight
+        k = 4.685 * s
+        u = jnp.clip(r / k, 0.0, 1.0)
+        w = (1.0 - u * u) ** 2
+    return jnp.where(base, w, 0.0)
+
+
 def _auto_trim_gate(dmin, mask, factor, axis_name):
     """Robust outlier gate: iteratively re-trimmed mean of the squared match
     distances (3 passes) scaled by ``factor``. Kills the unbounded miss tail
@@ -240,6 +276,12 @@ def icp_iteration(
         auto_trim = 9.0
     if auto_trim:
         mask = _auto_trim_gate(dmin, mask, auto_trim, axis_name)
+
+    if config.robust_loss is not None:
+        # IRLS: weights from residual distances; every reduction downstream
+        # already accepts float weights through the mask argument.
+        weights = _robust_weights(dmin, mask, config.robust_loss, axis_name)
+        mask = weights if mask is None else mask.astype(jnp.float32) * weights
 
     det_fix = config.det_correction and not config.strict_reference
     if config.metric == "point":

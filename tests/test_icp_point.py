@@ -110,3 +110,55 @@ def test_icp_convergence_iteration_caps():
     )
     assert int(res.num_iterations) == 3
     assert not bool(res.converged)
+
+
+@pytest.mark.parametrize("loss", ["huber", "tukey"])
+def test_icp_robust_loss_with_outlier_corruption(loss):
+    """IRLS reweighting recovers GT despite corrupted target points that a
+    plain solve would absorb."""
+    rng = np.random.default_rng(17)
+    scene = f.synthetic_scene(width=20)
+    target = np.asarray(scene.target).copy()
+    # corrupt 5% of target points in place (matched outliers, not junk far away)
+    bad = rng.choice(len(target), size=len(target) // 20, replace=False)
+    target[bad] += rng.normal(scale=0.5, size=(len(bad), 3))
+    res = f.icp_point_to_point(
+        scene.source, jnp.asarray(target),
+        config=f.ICPConfig(max_iterations=60, robust_loss=loss),
+    )
+    res_plain = f.icp_point_to_point(
+        scene.source, jnp.asarray(target),
+        config=f.ICPConfig(max_iterations=60),
+    )
+    e_robust = float(f.transform_rmse(res.transform, scene.ground_truth, scene.source))
+    e_plain = float(f.transform_rmse(res_plain.transform, scene.ground_truth, scene.source))
+    assert e_robust < e_plain
+    assert e_robust < 5e-3
+
+
+def test_icp_robust_loss_clean_scene_unaffected():
+    scene = f.synthetic_scene(width=16)
+    res = f.icp_point_to_point(scene.source, scene.target,
+                               config=f.ICPConfig(max_iterations=60,
+                                                  robust_loss="huber"))
+    assert float(f.transform_rmse(res.transform, scene.ground_truth, scene.source)) < 1e-4
+
+
+def test_icp_config_rejects_bad_robust_loss():
+    with pytest.raises(ValueError):
+        f.ICPConfig(robust_loss="l1")
+
+
+def test_icp_partial_overlap_trimmed():
+    """Source covers only part of the target's region: trimming + robust
+    weights still recover the transform."""
+    rng = np.random.default_rng(19)
+    full = rng.uniform(-2, 2, size=(4000, 3)).astype(np.float32)
+    src_region = full[full[:, 0] < 0.5]  # ~60% overlap region
+    gt = f.gt_transform((0.02, -0.03, 0.01), (0.02, -0.01, 0.03))
+    tgt = gt.apply(jnp.asarray(full))
+    res = f.icp_point_to_point(
+        jnp.asarray(src_region), tgt,
+        config=f.ICPConfig(max_iterations=60, robust_loss="tukey"),
+    )
+    assert float(f.transform_rmse(res.transform, gt, jnp.asarray(src_region))) < 5e-3
