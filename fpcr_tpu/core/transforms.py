@@ -156,3 +156,44 @@ def gt_transform(translation, rotation_rad, dtype=jnp.float32) -> RigidTransform
     t = jnp.asarray(translation, dtype=dtype)
     rx, ry, rz = [jnp.asarray(a, dtype=dtype) for a in rotation_rad]
     return RigidTransform(rotation_gt(rx, ry, rz).astype(dtype), t)
+
+
+def rotation_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) exponential map (Rodrigues): rotation vector [3] → matrix.
+
+    Branch-free small-angle handling via Taylor-safe coefficients."""
+    theta2 = jnp.sum(w * w)
+    theta = jnp.sqrt(theta2)
+    # sin(θ)/θ and (1-cos(θ))/θ² with stable small-angle limits
+    a = jnp.where(theta < 1e-6, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(theta > 0, theta, 1.0))
+    b = jnp.where(theta < 1e-6, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(theta2 > 0, theta2, 1.0))
+    wx = jnp.array([
+        [0.0, -w[2], w[1]],
+        [w[2], 0.0, -w[0]],
+        [-w[1], w[0], 0.0],
+    ])
+    return jnp.eye(3) + a * wx + b * jnp.matmul(wx, wx, precision=jax.lax.Precision.HIGHEST)
+
+
+def rotation_log(R: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) logarithm: rotation matrix → rotation vector [3].
+
+    Stable for small angles (the ICP increment regime); not intended for
+    θ → π edge cases."""
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    v = 0.5 * jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    # v = sin(θ)·axis ; scale by θ/sin(θ) with small-angle limit
+    s = jnp.where(theta < 1e-6, 1.0 + theta * theta / 6.0,
+                  theta / jnp.where(jnp.sin(theta) != 0, jnp.sin(theta), 1.0))
+    return v * s
+
+
+def transform_to_vector(t: "RigidTransform") -> jnp.ndarray:
+    """Minimal 6-vector [rotation-vector, translation] parametrization."""
+    return jnp.concatenate([rotation_log(t.rotation), t.translation])
+
+
+def vector_to_transform(x: jnp.ndarray) -> "RigidTransform":
+    return RigidTransform(rotation_exp(x[:3]).astype(x.dtype), x[3:6])

@@ -27,8 +27,11 @@ def read_two_col(path: Path):
     ns, ts = [], []
     for line in path.read_text().strip().splitlines():
         a, b = line.split(",")[:2]
-        ns.append(int(float(a)))
-        ts.append(float(b))
+        try:
+            ns.append(int(float(a)))
+            ts.append(float(b))
+        except ValueError:
+            continue  # header line (e.g. "NUM_POINTS,TIME")
     return ns, ts
 
 

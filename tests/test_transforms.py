@@ -100,3 +100,24 @@ def test_gt_transform_matches_reference_pipeline():
     expected = D @ R.T + t
     got = np.asarray(gt_transform(t, (rx, ry, rz)).apply(jnp.asarray(D)))
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_rotation_exp_log_roundtrip():
+    from fpcr_tpu.core.transforms import rotation_exp, rotation_log
+
+    for w in ([0.2, -0.1, 0.3], [1e-8, 0, 0], [0.0, 0.0, 0.0], [1.2, 0.5, -0.8]):
+        w = np.asarray(w, np.float32)
+        R = np.asarray(rotation_exp(jnp.asarray(w)))
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        w_back = np.asarray(rotation_log(jnp.asarray(R)))
+        np.testing.assert_allclose(w_back, w, atol=1e-5)
+
+
+def test_transform_vector_roundtrip():
+    from fpcr_tpu.core.transforms import transform_to_vector, vector_to_transform
+
+    t = gt_transform((0.8, -0.3, 0.2), (0.2, -0.2, 0.05))
+    x = transform_to_vector(t)
+    t2 = vector_to_transform(x)
+    np.testing.assert_allclose(np.asarray(t2.rotation), np.asarray(t.rotation), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2.translation), np.asarray(t.translation), atol=1e-6)
