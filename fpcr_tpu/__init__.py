@@ -40,6 +40,7 @@ from .models.history import (
     run_icp_with_history,
     save_checkpoint,
 )
+from .models.anderson import run_aa_icp
 from .models.pipeline import CoarseToFineResult, icp_coarse_to_fine
 from .ops.matching import gather_correspondences, nn_argmin, pairwise_sqdist
 from .ops.grid import build_voxel_table, grid_nn, suggest_cell_size
@@ -49,6 +50,9 @@ from .data.bunny import bunny_scene, load_bunny
 from .data.ouster import hall_scene, load_hall_scan
 
 __all__ = [
+    "run_aa_icp",
+    "icp_coarse_to_fine",
+    "CoarseToFineResult",
     "ICPHistory",
     "run_icp_with_history",
     "save_checkpoint",

@@ -80,7 +80,12 @@ def _cmd_run(args) -> int:
         print(timer.report())
         return 0
 
-    if args.coarse_to_fine:
+    if args.anderson:
+        from .models.anderson import run_aa_icp
+
+        t0 = time.perf_counter()
+        res = run_aa_icp(scene.source, scene.target, config)
+    elif args.coarse_to_fine:
         from .models.pipeline import icp_coarse_to_fine
 
         fine = dataclasses_replace(config, matcher="morton")
@@ -199,6 +204,9 @@ def main(argv=None) -> int:
                      help="max correspondence distance (robust/trimmed ICP)")
     run.add_argument("--robust", default=None, choices=["huber", "tukey"],
                      help="IRLS robust loss reweighting")
+    run.add_argument("--anderson", action="store_true",
+                     help="AA-ICP: Anderson-accelerated iteration "
+                          "(fewer iterations, safeguarded)")
     run.add_argument("--coarse-to-fine", action="store_true",
                      help="coarse brute-force ICP on subsets, then fine "
                           "grid-matched ICP on the full clouds (large-N path)")
