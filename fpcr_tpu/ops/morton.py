@@ -201,3 +201,77 @@ def morton_nn(
     idx_sorted = jnp.clip(idx_sorted.reshape(n_pad)[:n], 0, m - 1)
     exm = None if extra is None else exm.reshape(n_pad, 3)[:n]
     return matched, dmin, idx_sorted, exm
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "window", "unroll"))
+def knn_morton(
+    q: jnp.ndarray,
+    k: int,
+    q_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 256,
+    window: int = 256,
+    unroll: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Self-kNN via Morton bands — the O(M·band) replacement for the
+    streaming O(M²) ``normals.knn`` at large M (the normals prepass is the
+    only remaining quadratic step at 1M points).
+
+    Returns ``(idx int32[M, k], sqdist f32[M, k])`` ascending, indices into
+    the ORIGINAL order, self included as slot 0 (same contract as
+    ``normals.knn(q, q, k)``). Approximate near Morton-curve seams like
+    ``morton_nn`` — fine for PCA normals (any k near neighbors work).
+    """
+    m = q.shape[0]
+    q = q.astype(jnp.float32)
+    table = build_morton_table(q, q_mask)
+    qs = table.points_sorted
+
+    n_pad = round_up(m, chunk)
+    qs_pad = _pad_to(qs, n_pad, 1e30)
+    band = chunk + 2 * window
+    m_pad = max(round_up(m, 8), band)
+    t_sorted = _pad_to(qs, m_pad, 0.0)
+    num_chunks = n_pad // chunk
+    band_iota = lax.broadcasted_iota(jnp.int32, (1, band), 1)
+
+    # chunk c of the sorted cloud sits at rank c*chunk by construction
+    bases = jnp.clip(
+        jnp.arange(num_chunks, dtype=jnp.int32) * chunk - window,
+        0, m_pad - band,
+    )
+
+    def one_chunk(pc, base):
+        tb = lax.dynamic_slice(t_sorted, (base, jnp.int32(0)), (band, 3))
+        vmask = (base + band_iota) < table.valid_count
+        d = pairwise_sqdist(pc, tb)
+        d = jnp.where(vmask, d, jnp.inf)
+        neg_top, pos = lax.top_k(-d, k)
+        return base + pos.astype(jnp.int32), -neg_top
+
+    u = unroll
+    while num_chunks % u:
+        u //= 2
+    u = max(u, 1)
+
+    def per_group(args):
+        pcs, bs = args
+        outs = [one_chunk(pcs[i], bs[i]) for i in range(u)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
+
+    idx_sorted_pos, dists = lax.map(
+        per_group,
+        (qs_pad.reshape(num_chunks // u, u, chunk, 3),
+         bases.reshape(num_chunks // u, u)),
+    )
+    idx_sorted_pos = jnp.clip(
+        idx_sorted_pos.reshape(n_pad, k)[:m], 0, m - 1)
+    dists = dists.reshape(n_pad, k)[:m]
+
+    # sorted position -> original index, then un-sort the row order
+    idx_orig = jnp.take(table.orig_index, idx_sorted_pos)
+    inverse = jnp.zeros((m,), jnp.int32).at[table.orig_index].set(
+        jnp.arange(m, dtype=jnp.int32))
+    idx = jnp.take(idx_orig, inverse, axis=0)
+    d = jnp.take(dists, inverse, axis=0)
+    return idx, d

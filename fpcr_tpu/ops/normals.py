@@ -144,7 +144,17 @@ def estimate_normals(
     m = q.shape[0]
     q = q.astype(jnp.float32)
     # k+1 including self, then drop the nearest (= self at distance 0).
-    idx_all, _ = knn(q, q, k + 1, mask, chunk=chunk, tile=tile, exact=exact)
+    # Above ~100k points the O(M²) streaming search gives way to the
+    # Morton-banded O(M·band) search (ops/morton.py) — PCA normals only
+    # need *near* neighbors, which the bands always contain.
+    if m > 100_000:
+        from .morton import knn_morton
+
+        idx_all, _ = knn_morton(q, k + 1, mask, chunk=chunk if chunk <= 1024
+                                else 256)
+    else:
+        idx_all, _ = knn(q, q, k + 1, mask, chunk=chunk, tile=tile,
+                         exact=exact)
     nbr_idx = idx_all[:, 0:] if include_self else idx_all[:, 1:]  # [M, k(+1)]
 
     nbrs = jnp.take(q, nbr_idx, axis=0)  # [M, kk, 3]

@@ -181,3 +181,45 @@ def test_morton_source_larger_than_target():
     res = f.run_icp(src, jnp.asarray(tgt_pts),
                     f.ICPConfig(matcher="morton", max_iterations=10))
     assert np.isfinite(np.asarray(res.transform.rotation)).all()
+
+
+def test_knn_morton_matches_exact_knn():
+    from fpcr_tpu.ops.morton import knn_morton
+    from fpcr_tpu.ops.normals import knn
+
+    rng = np.random.default_rng(25)
+    q = jnp.asarray(rng.uniform(-2, 2, (4000, 3)).astype(np.float32))
+    idx_m, d_m = knn_morton(q, 5, window=512)
+    idx_e, d_e = knn(q, q, 5)
+    # self in slot 0 everywhere
+    np.testing.assert_array_equal(np.asarray(idx_m)[:, 0], np.arange(4000))
+    # high set-overlap with the exact neighbor sets (banded search misses a
+    # tail of k-th neighbors near curve seams; normals quality is asserted
+    # by the companion test)
+    set_overlap = np.mean([
+        len(set(a) & set(b)) / 5.0
+        for a, b in zip(np.asarray(idx_m), np.asarray(idx_e))
+    ])
+    assert set_overlap > 0.95, set_overlap
+    # distances of the found neighbors are close to the exact ones
+    np.testing.assert_allclose(
+        np.asarray(d_m).mean(), np.asarray(d_e).mean(), rtol=0.05)
+
+
+def test_knn_morton_normals_equivalent():
+    """Normals from banded kNN match exact-kNN normals (up to sign)."""
+    from fpcr_tpu.ops.morton import knn_morton
+    from fpcr_tpu.ops.eigh3 import smallest_eigenvector
+
+    scene = f.synthetic_scene(width=40)
+    q = scene.target
+    idx_all, _ = knn_morton(q, 5, window=512)
+    nbrs = jnp.take(q, idx_all[:, 1:], axis=0)
+    dev = nbrs - jnp.mean(nbrs, axis=1, keepdims=True)
+    cov = jnp.einsum("mki,mkj->mij", dev, dev)
+    n_banded, _ = smallest_eigenvector(cov)
+
+    from fpcr_tpu.ops.normals import estimate_normals
+    n_exact = estimate_normals(q, k=4)
+    dots = np.abs((np.asarray(n_banded) * np.asarray(n_exact)).sum(1))
+    assert np.quantile(dots, 0.02) > 0.95
