@@ -55,7 +55,7 @@ def time_complexity_sweep(
 def matching_benchmark(
     n: int = 16384,
     repeats: int = 10,
-    variants: Iterable[str] = ("xla", "xla_exact", "pallas"),
+    variants: Iterable[str] = ("xla", "xla_exact", "pallas", "morton"),
     csv_path: Optional[str] = None,
 ) -> dict:
     """Min-of-``repeats`` matching-kernel times (ms) at N=M=``n`` for each
@@ -71,10 +71,17 @@ def matching_benchmark(
     p, q = scene.source, scene.target
     actual_n = p.shape[0]
 
+    from ..ops.morton import build_morton_table, source_morton_order
+    from ..ops.morton_pallas import morton_nn_pallas
+
+    table = build_morton_table(q)
+    p_sorted = p[source_morton_order(p, table)]
+
     impls = {
         "xla": lambda: nn_argmin(p, q)[0],
         "xla_exact": lambda: nn_argmin(p, q, exact=True)[0],
         "pallas": lambda: nn_argmin_pallas(p, q)[0],
+        "morton": lambda: morton_nn_pallas(p_sorted, table)[2],
     }
     results = {"n": actual_n}
     for name in variants:
