@@ -179,7 +179,6 @@ def normals_with_curvature(
     not in the reference)."""
     from .eigh3 import eigvals3
 
-    m = q.shape[0]
     q = q.astype(jnp.float32)
     idx_all, _ = knn(q, q, k + 1, mask, **kwargs)
     nbrs = jnp.take(q, idx_all[:, 1:], axis=0)
