@@ -55,13 +55,14 @@ def main() -> None:
     parser.add_argument("--lo", type=int, default=10, help="short run iterations")
     parser.add_argument("--hi", type=int, default=60, help="long run iterations")
     parser.add_argument("--repeats", type=int, default=5, help="timed repeats (min taken)")
-    parser.add_argument("--matcher", default="xla",
+    parser.add_argument("--matcher", default=None,
                         choices=["xla", "pallas", "morton"],
-                        help="xla = exact brute force (the reference's own "
-                             "algorithm — converges from the reference "
-                             "scene's large displacement; the headline). "
-                             "morton = the banded fast path (valid in the "
-                             "near-registered regime; see details record)")
+                        help="default: 'pallas' on TPU (exact fused brute "
+                             "kernel), 'xla' elsewhere. Both are exact and "
+                             "converge from the reference scene's large "
+                             "displacement. 'morton' is the banded fast "
+                             "path (near-registered regime only; its "
+                             "numbers go in the details record).")
     args = parser.parse_args()
     if args.width < 2 or args.repeats < 1 or args.hi <= args.lo:
         parser.error("need width>=2, repeats>=1, hi>lo")
@@ -74,6 +75,9 @@ def main() -> None:
     import numpy as np
 
     import fpcr_tpu as f
+
+    if args.matcher is None:
+        args.matcher = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
     n = args.width * args.width
     scene = f.synthetic_scene(width=args.width)
@@ -97,6 +101,10 @@ def main() -> None:
     t_hi = _timed_run(run_hi, source, target, eps, args.repeats)
 
     ms_per_iter = (t_hi - t_lo) * 1e3 / (args.hi - args.lo)
+    if ms_per_iter <= 0:
+        # slope noise (tiny workloads / few repeats): fall back to the
+        # conservative total/iters bound
+        ms_per_iter = t_hi * 1e3 / args.hi
     platform = jax.devices()[0].platform
 
     # secondary: the production morton fast path, timed in its valid regime
@@ -104,7 +112,7 @@ def main() -> None:
     # pipeline; it cannot see the reference scene's 0.8-unit displacement)
     morton_ms = None
     morton_err = None
-    if args.matcher == "xla":
+    if args.matcher in ("xla", "pallas"):
         try:
             gt_small = f.gt_transform((0.004, -0.002, 0.003),
                                       (0.002, -0.003, 0.002))
