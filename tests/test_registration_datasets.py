@@ -45,3 +45,34 @@ def test_hall_scan_point_to_point_recovery():
                                config=f.ICPConfig(max_iterations=100))
     rmse = float(f.transform_rmse(res.transform, scene.ground_truth, scene.source))
     assert rmse < 1e-4, rmse
+
+
+def test_bunny_coarse_to_fine_production_path():
+    """The production large-N recipe (coarse brute → Morton-banded fine) on
+    real data: recovers the Bunny GT within the parity contract."""
+    from fpcr_tpu.models.pipeline import icp_coarse_to_fine
+    from fpcr_tpu.data.bunny import bunny_scene
+
+    scene = bunny_scene()
+    res = icp_coarse_to_fine(
+        scene.source, scene.target,
+        coarse_config=f.ICPConfig(max_iterations=40),
+        fine_config=f.ICPConfig(matcher="morton", max_iterations=20),
+        coarse_points=2048,
+    )
+    rmse = float(f.transform_rmse(res.transform, scene.ground_truth, scene.source))
+    assert rmse < 1e-5, rmse
+
+
+@pytest.mark.slow
+def test_hall_scan_morton_plane_near_registered():
+    """Morton-banded plane ICP on the real LiDAR scan (its production
+    regime: small residual displacement)."""
+    from fpcr_tpu.data.ouster import hall_scene, load_hall_scan
+
+    pts = load_hall_scan()
+    gt = f.gt_transform((0.002, -0.003, 0.001), (0.001, -0.002, 0.002))
+    res = f.run_icp(pts, gt.apply(pts),
+                    f.ICPConfig(metric="plane", matcher="morton",
+                                max_iterations=50))
+    assert float(f.transform_rmse(res.transform, gt, pts)) < 1e-4
