@@ -102,7 +102,7 @@ def run_aa_icp(
     if config.matcher == "morton":
         from ..ops.morton import source_morton_order
 
-        order = source_morton_order(source, matcher_state[0])
+        order = source_morton_order(source, matcher_state[0][0])
         source = jnp.take(source, order, axis=0)
         unsort = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=jnp.int32))

@@ -68,7 +68,7 @@ def run_icp_with_history(
     if config.matcher == "morton":
         from ..ops.morton import source_morton_order
 
-        order = source_morton_order(source, matcher_state[0])
+        order = source_morton_order(source, matcher_state[0][0])
         source = jnp.take(source, order, axis=0)
         if source_mask is not None:
             source_mask = jnp.take(source_mask, order)

@@ -84,6 +84,9 @@ class ICPConfig:
     morton_window: int = 256
     morton_unroll: int = 16
     morton_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
+    # 2 = also query a half-cell-shifted second curve and keep the closer
+    # match (covers Morton seam misses; ~2x matching cost)
+    morton_shifts: int = 1
 
     def __post_init__(self):
         if self.metric not in ("point", "plane"):
@@ -159,10 +162,15 @@ def build_matcher_state(target, target_mask, config: ICPConfig,
     if config.matcher == "morton":
         from ..ops.morton import build_morton_table
 
-        table = build_morton_table(target, target_mask)
-        normals_sorted = (None if target_normals is None else
-                          jnp.take(target_normals, table.orig_index, axis=0))
-        return (table, normals_sorted)
+        states = []
+        for s_idx in range(max(1, config.morton_shifts)):
+            table = build_morton_table(target, target_mask,
+                                       shift=0.5 * s_idx)
+            normals_sorted = (None if target_normals is None else
+                              jnp.take(target_normals, table.orig_index,
+                                       axis=0))
+            states.append((table, normals_sorted))
+        return tuple(states)
     return None
 
 
@@ -174,7 +182,6 @@ def _correspondences(points, target, target_mask, target_normals,
     dense target bands — no index gathers anywhere in the loop body.
     """
     if config.matcher == "morton":
-        table, normals_sorted = matcher_state
         impl = config.morton_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -182,11 +189,22 @@ def _correspondences(points, target, target_mask, target_normals,
             from ..ops.morton_pallas import morton_nn_pallas as nn_fn
         else:
             from ..ops.morton import morton_nn as nn_fn
-        q_m, dmin, _, n_m = nn_fn(
-            points, table, normals_sorted,
-            chunk=config.morton_chunk, window=config.morton_window,
-            unroll=config.morton_unroll,
-        )
+
+        q_m = n_m = dmin = None
+        for table, normals_sorted in matcher_state:
+            q_c, d_c, _, n_c = nn_fn(
+                points, table, normals_sorted,
+                chunk=config.morton_chunk, window=config.morton_window,
+                unroll=config.morton_unroll,
+            )
+            if dmin is None:
+                q_m, dmin, n_m = q_c, d_c, n_c
+            else:  # keep the closer match from the shifted curve
+                better = (d_c < dmin)[:, None]
+                q_m = jnp.where(better, q_c, q_m)
+                if n_m is not None:
+                    n_m = jnp.where(better, n_c, n_m)
+                dmin = jnp.minimum(d_c, dmin)
         return q_m, n_m, dmin, None
     idx, dmin, found = _match(points, target, target_mask, config,
                               matcher_state)
@@ -334,7 +352,7 @@ def _run_icp(
         # entirely gather-free (band reads only).
         from ..ops.morton import source_morton_order
 
-        order = source_morton_order(source, matcher_state[0])
+        order = source_morton_order(source, matcher_state[0][0])
         source = jnp.take(source, order, axis=0)
         if source_mask is not None:
             source_mask = jnp.take(source_mask, order)

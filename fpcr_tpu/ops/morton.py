@@ -78,10 +78,14 @@ class MortonTable(NamedTuple):
     valid_count: jnp.ndarray  # scalar int32 — rows beyond are masked
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("shift",))
 def build_morton_table(
-    q: jnp.ndarray, q_mask: Optional[jnp.ndarray] = None
+    q: jnp.ndarray, q_mask: Optional[jnp.ndarray] = None,
+    shift: float = 0.0,
 ) -> MortonTable:
+    """``shift`` (in cells, e.g. 0.5) offsets the quantization grid — a
+    second half-cell-shifted table covers the first curve's seams (query
+    both, keep the closer match)."""
     m = q.shape[0]
     q = q.astype(jnp.float32)
     if q_mask is not None:
@@ -94,6 +98,8 @@ def build_morton_table(
         hi = jnp.max(q, axis=0)
         valid_count = jnp.int32(m)
     inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-12)
+    if shift:
+        lo = lo - shift * (1.0 / inv_extent) / (1 << _BITS)
 
     codes = morton_codes(q, lo, inv_extent)
     if q_mask is not None:
