@@ -79,7 +79,6 @@ def build_voxel_table(
         key = jnp.where(q_mask, key, H)  # invalid points -> overflow bucket
 
     order = jnp.argsort(key)
-    key_sorted = jnp.take(key, order)
     points_sorted = jnp.take(q, order, axis=0)
 
     counts = jnp.zeros((H + 1,), jnp.int32).at[key].add(1)
@@ -87,7 +86,6 @@ def build_voxel_table(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(counts[:-1], dtype=jnp.int32)]
     )
-    del key_sorted
     return VoxelTable(
         points_sorted=points_sorted,
         orig_index=order.astype(jnp.int32),

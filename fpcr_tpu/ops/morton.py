@@ -7,9 +7,10 @@ replaces gathers with *contiguous band reads*:
 1. **Target prep** (once per registration): quantize target coords to a
    30-bit Morton code (10 bits/axis, int32-safe), sort the cloud along the
    curve. Spatially close points land at close ranks.
-2. **Source prep** (once): sort the source along its own Morton order. A
-   rigid motion preserves neighborhoods, so a run of consecutive sorted
-   source points stays spatially coherent through every ICP iteration.
+2. **Source prep** (once): sort the source along the same Morton frame
+   (``source_morton_order``). A rigid motion preserves neighborhoods, so a
+   run of consecutive sorted source points stays spatially coherent through
+   every ICP iteration — no per-iteration re-sorting.
 3. **Per iteration**: for each chunk of ``chunk`` consecutive source points,
    locate the chunk's *probe rank* in the target order (one searchsorted on
    ~N/chunk probes — cheap) and read the contiguous target band
