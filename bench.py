@@ -27,7 +27,8 @@ import json
 import sys
 import time
 
-BASELINE_MS_PER_ITER_16384 = 6.4944  # RTX 2060, reference CSV
+BASELINE_MS_PER_ITER_16384 = 6.4944  # RTX 2060, point metric, reference CSV
+BASELINE_PLANE_MS_PER_ITER_16384 = 7.1085  # RTX 2060, plane metric
 
 
 def _timed_run(run, src, tgt, eps, repeats):
@@ -52,6 +53,8 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--width", type=int, default=128, help="grid width (N=width²)")
+    parser.add_argument("--metric", default="point", choices=["point", "plane"],
+                        help="plane adds the reference's 7.109 ms baseline")
     parser.add_argument("--lo", type=int, default=10, help="short run iterations")
     parser.add_argument("--hi", type=int, default=60, help="long run iterations")
     parser.add_argument("--repeats", type=int, default=5, help="timed repeats (min taken)")
@@ -87,8 +90,9 @@ def main() -> None:
 
     def make_run(iters):
         # tolerance=0 → no early exit → exactly `iters` iterations
-        cfg = f.ICPConfig(max_iterations=iters, tolerance=0.0,
-                          matcher=args.matcher, morton_window=128)
+        cfg = f.ICPConfig(metric=args.metric, max_iterations=iters,
+                          tolerance=0.0, matcher=args.matcher,
+                          morton_window=128)
         def run(s, t):
             return f.run_icp(s, t, cfg)
         # compile + warm
@@ -154,11 +158,15 @@ def main() -> None:
     }
     print(json.dumps(details), file=sys.stderr)
 
+    baseline = (BASELINE_PLANE_MS_PER_ITER_16384 if args.metric == "plane"
+                else BASELINE_MS_PER_ITER_16384)
+    name = ("icp_point_to_plane" if args.metric == "plane"
+            else "icp_point_to_point")
     print(json.dumps({
-        "metric": f"icp_point_to_point_ms_per_iter_n{n}",
+        "metric": f"{name}_ms_per_iter_n{n}",
         "value": round(ms_per_iter, 4),
         "unit": "ms",
-        "vs_baseline": round(ms_per_iter / BASELINE_MS_PER_ITER_16384, 4),
+        "vs_baseline": round(ms_per_iter / baseline, 4),
     }))
 
 
