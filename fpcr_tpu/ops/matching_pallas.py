@@ -105,7 +105,7 @@ def nn_argmin_pallas(
     q_mask: Optional[jnp.ndarray] = None,
     *,
     block_n: int = 256,
-    block_m: int = 2048,
+    block_m: int = 8192,  # tuned on v5e: ~8% faster than 2048 in-loop
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas nearest-neighbor search: drop-in for ``matching.nn_argmin``.
