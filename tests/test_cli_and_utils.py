@@ -109,3 +109,27 @@ def test_write_rows_reference_format(tmp_path):
 def test_write_json(tmp_path):
     p = write_json(tmp_path / "x.json", {"a": 1.5})
     assert json.loads(p.read_text()) == {"a": 1.5}
+
+
+def test_iteration_metrics_records():
+    import fpcr_tpu as f
+    from fpcr_tpu.utils.csvout import iteration_metrics, write_iteration_metrics
+
+    scene = f.synthetic_scene(width=12)
+    res = f.run_icp(scene.source, scene.target, f.ICPConfig(max_iterations=10))
+    recs = iteration_metrics(res)
+    assert len(recs) == int(res.num_iterations)
+    assert recs[0]["delta_rmse"] is None
+    assert all(r["rmse"] >= 0 for r in recs)
+
+
+def test_write_iteration_metrics_csv(tmp_path):
+    import fpcr_tpu as f
+    from fpcr_tpu.utils.csvout import write_iteration_metrics
+
+    scene = f.synthetic_scene(width=12)
+    res = f.run_icp(scene.source, scene.target, f.ICPConfig(max_iterations=5))
+    p = write_iteration_metrics(tmp_path / "m.csv", res)
+    lines = p.read_text().strip().splitlines()
+    assert lines[0] == "iteration,rmse,delta_rmse"
+    assert len(lines) == 1 + int(res.num_iterations)
