@@ -125,6 +125,9 @@ def _cmd_run(args) -> int:
         "wall_seconds": wall,
         "platform": jax.devices()[0].platform,
     }
+    from .utils.csvout import iteration_metrics
+
+    payload["iteration_metrics"] = iteration_metrics(res)
     if args.json:
         print(json.dumps(payload, indent=2))
     else:

@@ -164,6 +164,15 @@ def load_hall_scan(
 
 def hall_scene(meters: bool = True) -> RegistrationScene:
     """The reference's real-LiDAR registration benchmark: source = hall scan,
-    target = GT-transformed copy (GPU_point_to_plane_real.cu:820-858)."""
+    target = GT-transformed copy (GPU_point_to_plane_real.cu:820-858).
+
+    Known deviation from the reference: the GT translation here is applied
+    to the *meters*-scaled cloud, while the reference applies RyT *before*
+    its mm→m ``cublasSscal`` (Read_data, then :351) — so the reference's
+    effective meters-space translation is 1000× smaller. The rotation
+    (which dominates the displacement) matches exactly. Pass
+    ``translation=tuple(t * 1e-3 for t in HALL_GT_TRANSLATION)`` to
+    ``transformed_scene`` for strict reference parity.
+    """
     pts = load_hall_scan(meters=meters)
     return transformed_scene(pts, HALL_GT_TRANSLATION, HALL_GT_ROTATION)

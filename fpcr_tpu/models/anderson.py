@@ -39,7 +39,9 @@ from .icp import (
     ICPResult,
     _correspondences,
     build_matcher_state,
+    correspondence_weights,
     icp_iteration,
+    rotation_angle,
 )
 
 
@@ -50,6 +52,9 @@ class _AAState(NamedTuple):
     hist_len: jnp.ndarray  # int32 valid history entries
     prev_error: jnp.ndarray
     errors: jnp.ndarray
+    matched_fraction: jnp.ndarray
+    delta_t: jnp.ndarray
+    delta_rot: jnp.ndarray
     accepted: jnp.ndarray  # [max_iter] bool — AA candidate accepted
     iteration: jnp.ndarray
     done: jnp.ndarray
@@ -72,7 +77,8 @@ def _aa_mix(hist_x, hist_f, hist_len, x_new, f_new, reg: float):
     return x_acc
 
 
-@functools.partial(jax.jit, static_argnames=("config", "history"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "history", "return_accepted"))
 def run_aa_icp(
     source: jnp.ndarray,
     target: jnp.ndarray,
@@ -80,12 +86,15 @@ def run_aa_icp(
     history: int = 5,
     target_normals: Optional[jnp.ndarray] = None,
     target_mask: Optional[jnp.ndarray] = None,
+    return_accepted: bool = False,
 ) -> ICPResult:
     """Anderson-accelerated registration; same contract as ``run_icp``.
 
     The returned ``points`` are the source transformed by the accumulated
     estimate. Works with every matcher/metric config (the inner step IS
-    ``icp_iteration``).
+    ``icp_iteration``). With ``return_accepted=True`` returns
+    ``(result, accepted)`` where ``accepted[i]`` says whether iteration i
+    kept the Anderson candidate (safeguard diagnostics).
     """
     from ..ops.normals import estimate_normals
 
@@ -115,28 +124,30 @@ def run_aa_icp(
         return vector_to_transform(xvec).apply(source)
 
     def eval_error(points):
+        """RMSE of a candidate under the SAME trimming/robust weighting as
+        ``icp_iteration``'s error — a like-for-like safeguard comparison."""
         q_m, _, dmin, found = _correspondences(
             points, target, target_mask, target_normals, config,
             matcher_state)
-        mask = found
+        mask = correspondence_weights(dmin, found, config)
         return rmse(points, q_m, mask)
 
     def plain_step(xvec):
         """One ICP iteration from accumulated transform x: returns g(x)."""
         points = apply_vec(xvec)
-        _, inc, error = icp_iteration(
+        _, inc, error, aux = icp_iteration(
             points, target, config, target_mask=target_mask,
             target_normals=target_normals, matcher_state=matcher_state,
         )
         total = inc.compose(vector_to_transform(xvec))
-        return transform_to_vector(total), error
+        return transform_to_vector(total), error, aux
 
     def cond(st: _AAState):
         return jnp.logical_and(st.iteration < max_iter, ~st.done)
 
     def body(st: _AAState) -> _AAState:
         x = st.transform_vec
-        gx, err_plain = plain_step(x)
+        gx, err_plain, aux = plain_step(x)
         f = gx - x
 
         x_acc = _aa_mix(st.hist_x, st.hist_f, st.hist_len, x, f, reg=1e-10)
@@ -146,12 +157,20 @@ def run_aa_icp(
         x_next = jnp.where(use_acc, x_acc, gx)
         err = jnp.where(use_acc, err_acc, err_plain)
 
-        # push (x, f) into the history ring; reset on rejection
+        # push (x, f) into the history ring; on safeguard rejection the
+        # history RESTARTS (Pavlov et al. §III.B) — only the just-pushed
+        # plain-step pair stays valid, so stale rows cannot keep feeding
+        # the mixer after a bad extrapolation.
         hist_x = jnp.roll(st.hist_x, 1, axis=0).at[0].set(x)
         hist_f = jnp.roll(st.hist_f, 1, axis=0).at[0].set(f)
-        hist_len = jnp.minimum(st.hist_len + 1, m)
+        hist_len = jnp.where(use_acc,
+                             jnp.minimum(st.hist_len + 1, m),
+                             jnp.int32(1))
 
-        errors = st.errors.at[st.iteration].set(err)
+        it = st.iteration
+        errors = st.errors.at[it].set(err)
+        rel = vector_to_transform(x_next).compose(
+            vector_to_transform(x).inverse())
         converged = jnp.logical_or(err < tol,
                                    jnp.abs(err - st.prev_error) < tol)
         return _AAState(
@@ -161,18 +180,26 @@ def run_aa_icp(
             hist_len=hist_len,
             prev_error=err,
             errors=errors,
-            accepted=st.accepted.at[st.iteration].set(use_acc),
-            iteration=st.iteration + 1,
+            matched_fraction=st.matched_fraction.at[it].set(
+                aux.matched_fraction),
+            delta_t=st.delta_t.at[it].set(jnp.linalg.norm(rel.translation)),
+            delta_rot=st.delta_rot.at[it].set(rotation_angle(rel.rotation)),
+            accepted=st.accepted.at[it].set(use_acc),
+            iteration=it + 1,
             done=converged,
         )
 
+    nanvec = jnp.full((max_iter,), jnp.nan, jnp.float32)
     init = _AAState(
         transform_vec=jnp.zeros((6,), jnp.float32),
         hist_x=jnp.zeros((m, 6), jnp.float32),
         hist_f=jnp.zeros((m, 6), jnp.float32),
         hist_len=jnp.int32(0),
         prev_error=jnp.float32(jnp.inf),
-        errors=jnp.full((max_iter,), jnp.nan, jnp.float32),
+        errors=nanvec,
+        matched_fraction=nanvec,
+        delta_t=nanvec,
+        delta_rot=nanvec,
         accepted=jnp.zeros((max_iter,), bool),
         iteration=jnp.int32(0),
         done=jnp.bool_(False),
@@ -183,10 +210,16 @@ def run_aa_icp(
     points_out = transform.apply(source)
     if unsort is not None:
         points_out = jnp.take(points_out, unsort, axis=0)
-    return ICPResult(
+    result = ICPResult(
         transform=transform,
         errors=final.errors,
         num_iterations=final.iteration,
         converged=final.done,
         points=points_out,
+        matched_fraction=final.matched_fraction,
+        delta_t=final.delta_t,
+        delta_rot=final.delta_rot,
     )
+    if return_accepted:
+        return result, final.accepted
+    return result

@@ -22,7 +22,8 @@ import numpy as np
 from jax import lax
 
 from ..core.transforms import RigidTransform
-from .icp import ICPConfig, build_matcher_state, icp_iteration
+from .icp import (ICPConfig, build_matcher_state, icp_iteration,
+                  rotation_angle)
 
 
 class ICPHistory(NamedTuple):
@@ -36,6 +37,9 @@ class ICPHistory(NamedTuple):
     num_iterations: jnp.ndarray
     converged: jnp.ndarray
     points: jnp.ndarray
+    matched_fraction: jnp.ndarray  # [T] post-trim inlier fraction
+    delta_t: jnp.ndarray  # [T] ‖Δt‖ per increment
+    delta_rot: jnp.ndarray  # [T] ∠ΔR (radians) per increment
 
 
 @functools.partial(jax.jit, static_argnames=("config", "axis_name"))
@@ -77,7 +81,7 @@ def run_icp_with_history(
 
     def step(carry, _):
         points, acc, prev_e, done = carry
-        new_points, inc, error = icp_iteration(
+        new_points, inc, error, aux = icp_iteration(
             points, target, config,
             source_mask=source_mask, target_mask=target_mask,
             target_normals=target_normals, axis_name=axis_name,
@@ -95,7 +99,10 @@ def run_icp_with_history(
             done, jnp.logical_or(error < tol, jnp.abs(error - prev_e) < tol)
         )
         out = (inc_eff.rotation, inc_eff.translation,
-               acc_new.rotation, acc_new.translation, error, ~done)
+               acc_new.rotation, acc_new.translation, error, ~done,
+               jnp.where(done, jnp.nan, aux.matched_fraction),
+               jnp.linalg.norm(inc_eff.translation),
+               rotation_angle(inc_eff.rotation))
         return (new_points, acc_new, error, now_done), out
 
     init = (
@@ -109,7 +116,8 @@ def run_icp_with_history(
     )
     if unsort is not None:
         points = jnp.take(points, unsort, axis=0)
-    inc_r, inc_t, acc_r, acc_t, errors, active = outs
+    (inc_r, inc_t, acc_r, acc_t, errors, active,
+     matched_fraction, delta_t, delta_rot) = outs
     return ICPHistory(
         transform=acc,
         incremental_rotations=inc_r,
@@ -121,6 +129,9 @@ def run_icp_with_history(
         num_iterations=jnp.sum(active.astype(jnp.int32)),
         converged=done,
         points=points,
+        matched_fraction=matched_fraction,
+        delta_t=delta_t,
+        delta_rot=delta_rot,
     )
 
 
@@ -159,6 +170,11 @@ def load_checkpoint(path: Union[str, Path]):
         num_iterations=data["num_iterations"],
         converged=data["converged"],
         points=data["points"],
+        # new-in-round-2 fields: tolerate older checkpoints
+        matched_fraction=(data["matched_fraction"]
+                          if "matched_fraction" in data else None),
+        delta_t=data["delta_t"] if "delta_t" in data else None,
+        delta_rot=data["delta_rot"] if "delta_rot" in data else None,
     )
     config_path = path.with_suffix(".config.json")
     config = None

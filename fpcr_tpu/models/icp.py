@@ -105,6 +105,24 @@ class ICPResult(NamedTuple):
     num_iterations: jnp.ndarray  # int32 — iterations actually executed
     converged: jnp.ndarray  # bool
     points: jnp.ndarray  # final transformed source cloud
+    # per-iteration observability (SURVEY.md §5 'Metrics / logging'; the
+    # reference's printf dumps at ICP_point_to_point_clean.cu:334-398 are the
+    # host-side analog). NaN after the stop iteration.
+    matched_fraction: jnp.ndarray  # [max_iterations] post-trim inlier fraction
+    delta_t: jnp.ndarray  # [max_iterations] ‖Δt‖ of the incremental transform
+    delta_rot: jnp.ndarray  # [max_iterations] ∠ΔR (radians) of the increment
+
+
+class IterationAux(NamedTuple):
+    """Per-iteration diagnostics emitted by ``icp_iteration``."""
+
+    matched_fraction: jnp.ndarray  # scalar — inliers entering the solve / N
+
+
+def rotation_angle(rotation: jnp.ndarray) -> jnp.ndarray:
+    """Rotation angle (radians) of a 3×3 rotation: θ = arccos((tr R − 1)/2)."""
+    tr = jnp.trace(rotation)
+    return jnp.arccos(jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0))
 
 
 class _LoopState(NamedTuple):
@@ -112,6 +130,9 @@ class _LoopState(NamedTuple):
     transform: RigidTransform
     prev_error: jnp.ndarray
     errors: jnp.ndarray
+    matched_fraction: jnp.ndarray
+    delta_t: jnp.ndarray
+    delta_rot: jnp.ndarray
     iteration: jnp.ndarray
     done: jnp.ndarray
 
@@ -265,23 +286,17 @@ def _auto_trim_gate(dmin, mask, factor, axis_name):
     return gate if mask is None else (mask & gate)
 
 
-def icp_iteration(
-    points: jnp.ndarray,
-    target: jnp.ndarray,
+def correspondence_weights(
+    dmin: jnp.ndarray,
+    found: Optional[jnp.ndarray],
     config: ICPConfig,
     source_mask: Optional[jnp.ndarray] = None,
-    target_mask: Optional[jnp.ndarray] = None,
-    target_normals: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
-    matcher_state=None,
 ):
-    """One ICP iteration: returns (new_points, incremental_transform, error).
+    """The trimming + robust-weight pipeline shared by ``icp_iteration`` and
+    the AA-ICP safeguard: distance gate → auto-trim → IRLS weights.
 
-    ``points``/``source_mask`` may be a shard; ``target`` is replicated.
-    """
-    q_matched, n_matched, dmin, found = _correspondences(
-        points, target, target_mask, target_normals, config, matcher_state)
-
+    Returns the final solve mask (bool, float weights, or None)."""
     mask = source_mask
     if found is not None:  # grid matcher: unmatched rows leave the solve
         mask = found if mask is None else (mask & found)
@@ -300,6 +315,45 @@ def icp_iteration(
         # already accepts float weights through the mask argument.
         weights = _robust_weights(dmin, mask, config.robust_loss, axis_name)
         mask = weights if mask is None else mask.astype(jnp.float32) * weights
+    return mask
+
+
+def _matched_fraction(mask, source_mask, n_rows, axis_name):
+    """Fraction of (valid) source points entering the solve."""
+    def _ps(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    if source_mask is not None:
+        denom = _ps(jnp.sum(source_mask.astype(jnp.float32)))
+    else:
+        denom = _ps(jnp.float32(n_rows))
+    if mask is None:
+        return jnp.float32(1.0)
+    inliers = _ps(jnp.sum((mask > 0).astype(jnp.float32)))
+    return inliers / jnp.maximum(denom, 1.0)
+
+
+def icp_iteration(
+    points: jnp.ndarray,
+    target: jnp.ndarray,
+    config: ICPConfig,
+    source_mask: Optional[jnp.ndarray] = None,
+    target_mask: Optional[jnp.ndarray] = None,
+    target_normals: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+    matcher_state=None,
+):
+    """One ICP iteration: returns
+    ``(new_points, incremental_transform, error, IterationAux)``.
+
+    ``points``/``source_mask`` may be a shard; ``target`` is replicated.
+    """
+    q_matched, n_matched, dmin, found = _correspondences(
+        points, target, target_mask, target_normals, config, matcher_state)
+
+    mask = correspondence_weights(dmin, found, config, source_mask, axis_name)
+    aux = IterationAux(matched_fraction=_matched_fraction(
+        mask, source_mask, points.shape[0], axis_name))
 
     det_fix = config.det_correction and not config.strict_reference
     if config.metric == "point":
@@ -319,7 +373,7 @@ def icp_iteration(
     # `mask` equals `source_mask`, i.e. the reference's full-cloud RMSE;
     # otherwise the error is over the solve's inlier set.
     error = rmse(new_points, q_matched, mask, axis_name=axis_name)
-    return new_points, inc, error
+    return new_points, inc, error, aux
 
 
 def _run_icp(
@@ -363,13 +417,14 @@ def _run_icp(
         return jnp.logical_and(state.iteration < max_iter, ~state.done)
 
     def body(state: _LoopState) -> _LoopState:
-        new_points, inc, error = icp_iteration(
+        new_points, inc, error, aux = icp_iteration(
             state.points, target, config,
             source_mask=source_mask, target_mask=target_mask,
             target_normals=target_normals, axis_name=axis_name,
             matcher_state=matcher_state,
         )
-        errors = state.errors.at[state.iteration].set(error)
+        it = state.iteration
+        errors = state.errors.at[it].set(error)
         converged = jnp.logical_or(
             error < tol, jnp.abs(error - state.prev_error) < tol
         )
@@ -378,15 +433,25 @@ def _run_icp(
             transform=inc.compose(state.transform),
             prev_error=error,
             errors=errors,
-            iteration=state.iteration + 1,
+            matched_fraction=state.matched_fraction.at[it].set(
+                aux.matched_fraction),
+            delta_t=state.delta_t.at[it].set(
+                jnp.linalg.norm(inc.translation)),
+            delta_rot=state.delta_rot.at[it].set(
+                rotation_angle(inc.rotation)),
+            iteration=it + 1,
             done=converged,
         )
 
+    nanvec = jnp.full((max_iter,), jnp.nan, dtype=jnp.float32)
     init = _LoopState(
         points=source.astype(jnp.float32),
         transform=RigidTransform.identity(),
         prev_error=jnp.float32(jnp.inf),
-        errors=jnp.full((max_iter,), jnp.nan, dtype=jnp.float32),
+        errors=nanvec,
+        matched_fraction=nanvec,
+        delta_t=nanvec,
+        delta_rot=nanvec,
         iteration=jnp.int32(0),
         done=jnp.bool_(False),
     )
@@ -400,6 +465,9 @@ def _run_icp(
         num_iterations=final.iteration,
         converged=final.done,
         points=points_out,
+        matched_fraction=final.matched_fraction,
+        delta_t=final.delta_t,
+        delta_rot=final.delta_rot,
     )
 
 
@@ -420,17 +488,24 @@ def run_icp(
     )
 
 
-def icp_point_to_point(source, target, **kwargs) -> ICPResult:
-    config = kwargs.pop("config", None) or ICPConfig(metric="point", **{
-        k: kwargs.pop(k) for k in list(kwargs)
-        if k in ICPConfig.__dataclass_fields__
-    })
+def _metric_wrapper(metric, source, target, kwargs) -> ICPResult:
+    config = kwargs.pop("config", None)
+    if config is None:
+        fields = {
+            k: kwargs.pop(k) for k in list(kwargs)
+            if k in ICPConfig.__dataclass_fields__
+        }
+        if fields.pop("metric", metric) != metric:
+            raise ValueError(
+                f"metric is fixed to {metric!r} by this entry point; use "
+                "run_icp(config=...) to pick the metric explicitly")
+        config = ICPConfig(metric=metric, **fields)
     return run_icp(source, target, config, **kwargs)
+
+
+def icp_point_to_point(source, target, **kwargs) -> ICPResult:
+    return _metric_wrapper("point", source, target, kwargs)
 
 
 def icp_point_to_plane(source, target, **kwargs) -> ICPResult:
-    config = kwargs.pop("config", None) or ICPConfig(metric="plane", **{
-        k: kwargs.pop(k) for k in list(kwargs)
-        if k in ICPConfig.__dataclass_fields__
-    })
-    return run_icp(source, target, config, **kwargs)
+    return _metric_wrapper("plane", source, target, kwargs)

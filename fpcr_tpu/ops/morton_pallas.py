@@ -203,7 +203,7 @@ def morton_nn_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((u, chunk), lambda g, *_: (g, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # q̂T stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # q̂T stays in HBM
     ]
     out_shape = [
         jax.ShapeDtypeStruct((num_chunks, chunk), jnp.float32),
@@ -224,7 +224,7 @@ def morton_nn_pallas(
     ]
     operands = [p_hat_t, p_sq, q_hat_t]
     if with_extra:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(
             jax.ShapeDtypeStruct((num_chunks, _SUBLANES, chunk), jnp.float32))
         out_specs.append(pl.BlockSpec((u, _SUBLANES, chunk),

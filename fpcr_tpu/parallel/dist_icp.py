@@ -116,6 +116,9 @@ def distributed_icp(
         num_iterations=P(),
         converged=P(),
         points=P(AXIS, None),
+        matched_fraction=P(),  # already psum-normalized — replicated
+        delta_t=P(),
+        delta_rot=P(),
     )
 
     try:

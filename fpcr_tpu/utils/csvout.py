@@ -45,24 +45,45 @@ def iteration_metrics(result) -> list:
 
     errors = np.asarray(result.errors)
     ni = int(result.num_iterations)
+
+    def _series(name):
+        v = getattr(result, name, None)
+        return None if v is None else np.asarray(v)
+
+    frac = _series("matched_fraction")
+    d_t = _series("delta_t")
+    d_rot = _series("delta_rot")
+
     records = []
     prev = None
     for i in range(ni):
         e = float(errors[i])
-        records.append({
+        rec = {
             "iteration": i,
             "rmse": e,
             "delta_rmse": None if prev is None else e - prev,
-        })
+        }
+        if frac is not None:
+            rec["matched_fraction"] = float(frac[i])
+        if d_t is not None:
+            rec["delta_t"] = float(d_t[i])
+        if d_rot is not None:
+            rec["delta_rot"] = float(d_rot[i])
+        records.append(rec)
         prev = e
     return records
 
 
+_METRIC_COLUMNS = ("iteration", "rmse", "delta_rmse", "matched_fraction",
+                   "delta_t", "delta_rot")
+
+
 def write_iteration_metrics(path, result) -> "Path":
     recs = iteration_metrics(result)
+    cols = [c for c in _METRIC_COLUMNS if not recs or c in recs[0]]
     return write_rows(
         path,
-        [(r["iteration"], r["rmse"],
-          "" if r["delta_rmse"] is None else r["delta_rmse"]) for r in recs],
-        header=["iteration", "rmse", "delta_rmse"],
+        [tuple("" if r.get(c) is None else r.get(c) for c in cols)
+         for r in recs],
+        header=cols,
     )

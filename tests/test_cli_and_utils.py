@@ -131,5 +131,49 @@ def test_write_iteration_metrics_csv(tmp_path):
     res = f.run_icp(scene.source, scene.target, f.ICPConfig(max_iterations=5))
     p = write_iteration_metrics(tmp_path / "m.csv", res)
     lines = p.read_text().strip().splitlines()
-    assert lines[0] == "iteration,rmse,delta_rmse"
+    assert lines[0] == ("iteration,rmse,delta_rmse,matched_fraction,"
+                        "delta_t,delta_rot")
     assert len(lines) == 1 + int(res.num_iterations)
+
+
+def test_iteration_metrics_observability_fields():
+    """SURVEY §5 metrics row: rmse, matched fraction, Δtransform per
+    iteration, all emitted from inside the jitted loop."""
+    import numpy as np
+
+    import fpcr_tpu as f
+    from fpcr_tpu.utils.csvout import iteration_metrics
+
+    scene = f.synthetic_scene(width=12)
+    res = f.run_icp(scene.source, scene.target, f.ICPConfig(max_iterations=15))
+    recs = iteration_metrics(res)
+    assert {"matched_fraction", "delta_t", "delta_rot"} <= set(recs[0])
+    # untrimmed exhaustive matcher: everything matched, every iteration
+    assert all(r["matched_fraction"] == 1.0 for r in recs)
+    # increments shrink as the registration converges
+    assert recs[-1]["delta_t"] < recs[0]["delta_t"]
+    assert recs[-1]["delta_rot"] < recs[0]["delta_rot"]
+    ni = int(res.num_iterations)
+    assert np.isnan(np.asarray(res.delta_t)[ni:]).all()
+
+
+def test_matched_fraction_recovers_on_partial_overlap():
+    """Monotone-ish inlier recovery: on a partial-overlap trimmed run the
+    post-trim inlier fraction must not collapse and must end at least as
+    high as it started."""
+    import numpy as np
+
+    import fpcr_tpu as f
+
+    rng = np.random.default_rng(19)
+    full = rng.uniform(-2, 2, size=(3000, 3)).astype(np.float32)
+    src = full[full[:, 0] < 0.5]
+    gt = f.gt_transform((0.05, -0.03, 0.02), (0.03, -0.02, 0.04))
+    tgt = gt.apply(full)
+    res = f.run_icp(src, tgt, f.ICPConfig(
+        max_iterations=40, max_correspondence_dist=0.25))
+    ni = int(res.num_iterations)
+    frac = np.asarray(res.matched_fraction)[:ni]
+    assert (frac > 0.2).all(), frac
+    assert frac[-1] >= frac[0] - 1e-6, frac
+    assert float(f.transform_rmse(res.transform, gt, src)) < 5e-3
