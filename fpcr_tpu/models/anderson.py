@@ -102,6 +102,7 @@ def run_aa_icp(
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
             chunk=config.source_chunk, tile=config.target_tile,
+            banded_threshold=config.normals_banded_threshold,
         )
     matcher_state = build_matcher_state(target, target_mask, config,
                                         target_normals=target_normals)

@@ -61,6 +61,7 @@ def run_icp_with_history(
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
             chunk=config.source_chunk, tile=config.target_tile,
+            banded_threshold=config.normals_banded_threshold,
         )
 
     tol = jnp.float32(config.tolerance)

@@ -55,6 +55,9 @@ class ICPConfig:
     max_iterations: int = 40  # reference caps: 40/50/100/200
     tolerance: float = 1e-6  # GPU f32 epsilon; CPU f64 used 1e-5
     k_neighbors: int = 4  # normals kNN (ICP_point_to_plane_clean.cu:436)
+    # normals prepass switches from O(M²) streaming kNN to the Morton-banded
+    # search above this cloud size (ops/normals.py)
+    normals_banded_threshold: int = 100_000
     solver: str = "svd"  # 'svd' | 'polar' (point metric)
     det_correction: bool = True
     strict_reference: bool = False  # exact reference math (no det fix)
@@ -392,6 +395,7 @@ def _run_icp(
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
             chunk=config.source_chunk, tile=config.target_tile,
+            banded_threshold=config.normals_banded_threshold,
         )
 
     matcher_state = build_matcher_state(target, target_mask, config,

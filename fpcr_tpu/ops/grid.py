@@ -101,19 +101,42 @@ def _neighbor_offsets() -> np.ndarray:
     return np.stack(np.meshgrid(g, g, g, indexing="ij"), axis=-1).reshape(27, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "chunk"))
+# Measured on v5e (BENCH_NOTES round 1): the grid query's random candidate
+# gather is fine at 262k source points (57M gathered rows) but CRASHES the
+# TPU worker at 1M (226M rows). Hard-cap the candidate-gather volume well
+# inside the safe regime so a mis-configured run degrades to a clear error
+# instead of taking the device down.
+MAX_CANDIDATE_GATHERS = 120_000_000
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "chunk", "max_candidate_gathers"))
 def grid_nn(
     p: jnp.ndarray,
     table: VoxelTable,
     cap: int = 8,
     chunk: int = 65536,
+    max_candidate_gathers: int = MAX_CANDIDATE_GATHERS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-radius NN via the voxel table.
 
     Returns ``(idx int32[N], sqdist f32[N], found bool[N])`` — ``idx`` into
     the ORIGINAL target order; rows with no candidate have found=False.
+
+    Raises ``ValueError`` when the total candidate gather volume
+    (``N × 27 × cap``) exceeds ``max_candidate_gathers`` — beyond that the
+    program is known to crash the TPU worker; use ``matcher='morton'``.
     """
     n = p.shape[0]
+    budget = n * 27 * cap
+    if budget > max_candidate_gathers:
+        raise ValueError(
+            f"grid_nn candidate budget {budget:,} (N={n:,} x 27 x cap={cap}) "
+            f"exceeds the safe limit {max_candidate_gathers:,}; the gather "
+            "pressure at this size crashes the TPU worker. Use "
+            "ICPConfig(matcher='morton') for large clouds (the production "
+            "large-N path), or lower cap / raise max_candidate_gathers "
+            "explicitly if you know the hardware tolerates it.")
     p = p.astype(jnp.float32)
     offsets = jnp.asarray(_neighbor_offsets(), jnp.int32)  # [27, 3]
     m = table.points_sorted.shape[0]

@@ -282,3 +282,59 @@ def knn_morton(
     idx = jnp.take(idx_orig, inverse, axis=0)
     d = jnp.take(dists, inverse, axis=0)
     return idx, d
+
+
+@functools.partial(jax.jit, static_argnames=("sample", "chunk", "window",
+                                             "unroll", "rel_tol"))
+def seam_miss_rate(
+    p: jnp.ndarray,
+    table: MortonTable,
+    sample: int = 1024,
+    chunk: int = 256,
+    window: int = 256,
+    unroll: int = 8,
+    rel_tol: float = 1e-4,
+) -> jnp.ndarray:
+    """Fraction of banded matches measurably worse than brute force.
+
+    The Morton-banded matcher misses a true nearest neighbor when it lies
+    across a curve seam outside the rank window. This probe quantifies
+    that for a given (cloud, window): it takes an evenly-strided ``sample``
+    of the (coherently ordered) query rows, brute-forces their exact NN
+    against the full table, runs the banded search with the same rows kept
+    in their original band positions, and returns the fraction whose banded
+    squared distance exceeds the exact one by more than ``rel_tol``
+    (relative). 0.0 = the window is lossless on this cloud; use it to size
+    ``ICPConfig.morton_window`` on adversarial geometry (the companion
+    ``auto_trim`` gate handles the surviving tail at solve time).
+
+    ``p`` must already be in source-coherent order (``source_morton_order``),
+    matching how the ICP loop drives the matcher.
+    """
+    n = p.shape[0]
+    p = p.astype(jnp.float32)
+    # full banded pass (identical band geometry to the production loop)
+    _, d_band, _, _ = morton_nn(p, table, None, chunk=chunk, window=window,
+                                unroll=unroll)
+
+    stride = max(1, n // sample)
+    rows = jnp.arange(sample, dtype=jnp.int32) * stride
+    rows = jnp.clip(rows, 0, n - 1)
+    p_s = jnp.take(p, rows, axis=0)
+    d_band_s = jnp.take(d_band, rows)
+
+    # exact NN of the sampled rows against the full (valid) table
+    q = table.points_sorted
+    q_sq = jnp.sum(q * q, axis=1)
+    valid = jnp.arange(q.shape[0]) < table.valid_count
+    q_sq = jnp.where(valid, q_sq, jnp.inf)
+    d_full = (jnp.sum(p_s * p_s, axis=1)[:, None]
+              - 2.0 * jax.lax.dot_general(
+                  p_s, q,
+                  dimension_numbers=(((1,), (1,)), ((), ())),
+                  precision=jax.lax.Precision.HIGHEST)
+              + q_sq[None, :])
+    d_exact = jnp.maximum(jnp.min(d_full, axis=1), 0.0)
+
+    miss = d_band_s > d_exact * (1.0 + rel_tol) + 1e-12
+    return jnp.mean(miss.astype(jnp.float32))

@@ -48,10 +48,10 @@ _ALIGN = 128  # lane-dim DMA alignment required by Mosaic tiling
 def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool):
     def kernel(*refs):
         if with_extra:
-            (bases_ref, pt_ref, psq_ref, q_hbm, e_hbm,
+            (bases_ref, pt_ref, q_hbm, e_hbm,
              out_d, out_i, out_q, out_e, qbuf, ebuf, sems, esems) = refs
         else:
-            (bases_ref, pt_ref, psq_ref, q_hbm,
+            (bases_ref, pt_ref, q_hbm,
              out_d, out_i, out_q, qbuf, sems) = refs
         g = pl.program_id(0)
 
@@ -88,13 +88,13 @@ def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool):
             cols = pl.ds(j * chunk, chunk)
             pcT = pt_ref[:, cols]  # [8, chunk] augmented source slab
             band_q = qbuf[slot]  # [8, band] transposed augmented target
-            cross = jax.lax.dot_general(
+            d = jax.lax.dot_general(
                 band_q, pcT,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # [band, chunk] = |q|² - 2 p·q (surrogate rows are huge)
-            d = cross + psq_ref[pl.ds(j, 1), :]  # + |p|² row broadcast
+            )  # [band, chunk] = |q|² - 2 p·q + |p|² — the EXACT distance,
+            # fully inside the matmul (q̂ row 4 = 1 picks up p̂'s |p|² row)
 
             arg = jnp.argmin(d, axis=0).astype(jnp.int32)  # [chunk]
             dmin = jnp.min(d, axis=0)
@@ -158,13 +158,11 @@ def morton_nn_pallas(
     # can shift the window by up to 127 rows
     band = round_up(chunk + 2 * window + _ALIGN, _ALIGN)
 
-    # transposed augmented source: p̂T rows = [-2x, -2y, -2z, 1, 0...],
-    # plus the |p|² per-point row laid out [num_chunks, chunk]
+    # transposed augmented source: p̂T rows = [-2x, -2y, -2z, 1, |p|², 0...]
     p_hat_t = jnp.zeros((_SUBLANES, n_pad), jnp.float32)
     p_hat_t = p_hat_t.at[:3, :n].set(-2.0 * p.T)
     p_hat_t = p_hat_t.at[3, :n].set(1.0)
-    p_sq = jnp.zeros((n_pad,), jnp.float32).at[:n].set(jnp.sum(p * p, axis=1))
-    p_sq = p_sq.reshape(num_chunks, chunk)
+    p_hat_t = p_hat_t.at[4, :n].set(jnp.sum(p * p, axis=1))
 
     # transposed augmented target in Morton order: q̂T[0:3] = coords,
     # q̂T[3] = |q|² (huge surrogate for masked rows and band padding)
@@ -178,6 +176,7 @@ def morton_nn_pallas(
     q_hat_t = q_hat_t.at[:3, :m].set(q.T)
     q_hat_t = q_hat_t.at[3, :m].set(q_sq)
     q_hat_t = q_hat_t.at[3, m:].set(_INVALID_SURROGATE)
+    q_hat_t = q_hat_t.at[4, :].set(1.0)
 
     e_hat_t = None
     if extra is not None:
@@ -201,8 +200,6 @@ def morton_nn_pallas(
     in_specs = [
         pl.BlockSpec((_SUBLANES, u * chunk), lambda g, *_: (0, g),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((u, chunk), lambda g, *_: (g, 0),
-                     memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # q̂T stays in HBM
     ]
     out_shape = [
@@ -222,7 +219,7 @@ def morton_nn_pallas(
         pltpu.VMEM((2, _SUBLANES, band), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    operands = [p_hat_t, p_sq, q_hat_t]
+    operands = [p_hat_t, q_hat_t]
     if with_extra:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(
@@ -236,7 +233,7 @@ def morton_nn_pallas(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-        operands = [p_hat_t, p_sq, q_hat_t, e_hat_t]
+        operands = [p_hat_t, q_hat_t, e_hat_t]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -116,7 +116,8 @@ def knn(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "tile", "exact", "include_self")
+    jax.jit, static_argnames=("k", "chunk", "tile", "exact", "include_self",
+                              "banded_threshold")
 )
 def estimate_normals(
     q: jnp.ndarray,
@@ -127,6 +128,7 @@ def estimate_normals(
     tile: int = 2048,
     exact: bool = False,
     include_self: bool = False,
+    banded_threshold: int = 100_000,
 ) -> jnp.ndarray:
     """Unoriented PCA normals of a cloud from its k nearest (non-self)
     neighbors — the reference pipeline's prepass, entirely on device.
@@ -137,6 +139,9 @@ def estimate_normals(
       mask: optional validity mask for padded clouds.
       include_self: if True, the point itself also joins its neighborhood
         (a mild robustness improvement the reference does not do).
+      banded_threshold: cloud size above which the O(M²) streaming kNN
+        gives way to the Morton-banded O(M·band) search (exposed as
+        ``ICPConfig.normals_banded_threshold``).
 
     Returns ``[M, 3]`` unit normals (fallback (1,1,1)/sqrt(3) for degenerate
     neighborhoods, matching the reference's device-kernel fallback).
@@ -144,10 +149,10 @@ def estimate_normals(
     m = q.shape[0]
     q = q.astype(jnp.float32)
     # k+1 including self, then drop the nearest (= self at distance 0).
-    # Above ~100k points the O(M²) streaming search gives way to the
-    # Morton-banded O(M·band) search (ops/morton.py) — PCA normals only
+    # Above banded_threshold points the O(M²) streaming search gives way to
+    # the Morton-banded O(M·band) search (ops/morton.py) — PCA normals only
     # need *near* neighbors, which the bands always contain.
-    if m > 100_000:
+    if m > banded_threshold:
         from .morton import knn_morton
 
         idx_all, _ = knn_morton(q, k + 1, mask, chunk=chunk if chunk <= 1024

@@ -87,6 +87,7 @@ def distributed_icp(
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
             chunk=config.source_chunk, tile=config.target_tile,
+            banded_threshold=config.normals_banded_threshold,
         )
 
     has_normals = target_normals is not None

@@ -96,3 +96,25 @@ def test_grid_handles_duplicate_points():
     # duplicate must still be found
     assert bool(np.asarray(found).all())
     assert float(np.asarray(d).max()) <= 1e-6
+
+
+def test_grid_nn_rejects_worker_crashing_sizes():
+    """1M-point grid queries crash the TPU worker (BENCH_NOTES round-1 dead
+    end); the candidate-budget guard must turn that into a clear error that
+    points at the morton matcher, BEFORE any device compute is issued."""
+    import pytest
+
+    table = build_voxel_table(
+        jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (256, 3)),
+                    dtype=jnp.float32), 0.2)
+    big = jnp.zeros((1_048_576, 3), jnp.float32)
+    with pytest.raises(ValueError, match="morton"):
+        grid_nn(big, table, cap=8)
+    # the same guard fires through the ICP config path
+    import fpcr_tpu as f
+    with pytest.raises(ValueError, match="morton"):
+        f.run_icp(big, jnp.zeros((256, 3), jnp.float32),
+                  f.ICPConfig(matcher="grid", max_iterations=1))
+    # explicit opt-out still works (tiny cap keeps it CPU-cheap here)
+    idx, d, found = grid_nn(big[:64], table, cap=8)
+    assert idx.shape == (64,)

@@ -241,3 +241,83 @@ def test_morton_dual_shift_improves_match_quality():
     # both converge; at this window both land at the numerical noise floor
     # (~1e-7), so assert absolute quality rather than a ratio
     assert e1 < 5e-4 and e2 < 5e-4
+
+
+def test_seam_miss_rate_probe_adversarial_walls():
+    """Data-driven window sizing (VERDICT r1 #7): two thin crossing walls
+    are adversarial for a space-filling curve (the curve jumps between the
+    walls, so rank-neighbors are not always space-neighbors). The probe
+    must (a) report a higher miss rate at tiny windows than at wide ones,
+    and (b) show the production window keeps the miss tail small enough for
+    the auto_trim gate."""
+    from fpcr_tpu.ops.morton import (build_morton_table, seam_miss_rate,
+                                     source_morton_order)
+
+    rng = np.random.default_rng(3)
+    n_half = 4096
+    # wall A: x ∈ [-1,1], y ~ 0, z ∈ [-1,1]; wall B: x ~ 0, y ∈ [-1,1]
+    wall_a = np.stack([rng.uniform(-1, 1, n_half),
+                       rng.normal(0, 0.01, n_half),
+                       rng.uniform(-1, 1, n_half)], axis=1)
+    wall_b = np.stack([rng.normal(0, 0.01, n_half),
+                       rng.uniform(-1, 1, n_half),
+                       rng.uniform(-1, 1, n_half)], axis=1)
+    cloud = jnp.asarray(np.concatenate([wall_a, wall_b]).astype(np.float32))
+
+    table = build_morton_table(cloud, None)
+    src = cloud + 0.002  # near-registered queries (the matcher's regime)
+    src = jnp.take(src, source_morton_order(src, table), axis=0)
+
+    misses = {w: float(seam_miss_rate(src, table, sample=1024, window=w))
+              for w in (16, 64, 256)}
+    # wider windows monotonically help, but crossing walls keep a several-
+    # percent seam tail at ANY window (measured ~9.9% @16 → ~7.5% @256) —
+    # THIS is why auto_trim defaults on for morton and why morton_shifts=2
+    # exists. The probe makes that trade-off measurable per cloud.
+    assert misses[256] <= misses[16] + 1e-9, misses
+    assert misses[256] < 0.15, misses
+    assert misses[16] < 0.5, misses   # even tiny windows mostly hit
+
+    # dual-shift mitigation: a half-cell-shifted second curve catches a
+    # large share of the first curve's seam misses
+    from fpcr_tpu.ops.morton import morton_nn
+    table2 = build_morton_table(cloud, None, shift=0.5)
+    _, d1, _, _ = morton_nn(src, table, None, window=256)
+    _, d2, _, _ = morton_nn(src, table2, None, window=256)
+    q = np.asarray(table.points_sorted)[:int(table.valid_count)]
+    s_np = np.asarray(src)
+    # brute oracle in the SAME f32 matmul form the matcher uses (|p|²−2pq+
+    # |q|²) — the difference form disagrees by ~3e-7 absolute at near-zero
+    # distances, which would read as false misses at these magnitudes
+    qsq = (q * q).sum(1).astype(np.float32)
+    d_exact = np.empty(s_np.shape[0], np.float32)
+    for lo in range(0, s_np.shape[0], 1024):
+        blk = ((s_np[lo:lo+1024] ** 2).sum(1)[:, None]
+               - 2.0 * (s_np[lo:lo+1024] @ q.T) + qsq[None, :])
+        d_exact[lo:lo+1024] = np.maximum(blk.min(1), 0.0)
+    d_min = np.minimum(np.asarray(d1), np.asarray(d2))
+    # tolerance absorbs the ~3e-7 absolute f32 matmul-form noise; true seam
+    # misses jump across a wall (d_band ≫ d_exact), far beyond it
+    miss_dual = float(np.mean(d_min > d_exact * 1.001 + 1e-6))
+    d1_only = float(np.mean(np.asarray(d1) > d_exact * 1.001 + 1e-6))
+    # measured: single-curve ~8.2% missed, dual-shift ~4.4%
+    assert miss_dual < d1_only * 0.75, (miss_dual, d1_only, misses)
+
+
+def test_normals_banded_threshold_exposed():
+    """The 100k banded-normals cutoff is configurable (VERDICT r1 #7):
+    forcing banded mode on a small cloud must agree with the exact path."""
+    from fpcr_tpu.ops.normals import estimate_normals
+
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.uniform(-1, 1, (2048, 3)).astype(np.float32))
+    n_exact = estimate_normals(pts, k=4)
+    n_banded = estimate_normals(pts, k=4, banded_threshold=1024)
+    dots = np.abs(np.sum(np.asarray(n_exact) * np.asarray(n_banded), axis=1))
+    # unoriented normals: compare |cos|. k=4 neighborhoods on a uniform
+    # random cloud are noisy, so banded neighbor-set differences flip a few
+    # percent of normals — the production regime (structured surfaces) is
+    # far cleaner (see hall/bunny plane tests).
+    assert float(np.mean(dots > 0.99)) > 0.9
+    import fpcr_tpu as f
+    assert f.ICPConfig(normals_banded_threshold=50_000).normals_banded_threshold == 50_000
