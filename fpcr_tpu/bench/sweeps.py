@@ -19,7 +19,7 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 from ..data.synthetic import synthetic_scene
 from ..models.icp import ICPConfig, run_icp
 from ..utils.csvout import write_rows
-from ..utils.timing import benchmark
+from ..utils.timing import benchmark, slope_benchmark
 
 # Reference sweep bounds (GPU_time_complexity_point.cu:110 — WIDTH 3..128)
 DEFAULT_WIDTHS = tuple(range(3, 129))
@@ -78,15 +78,18 @@ def matching_benchmark(
     p_sorted = p[source_morton_order(p, table)]
 
     impls = {
-        "xla": lambda: nn_argmin(p, q)[0],
-        "xla_exact": lambda: nn_argmin(p, q, exact=True)[0],
-        "pallas": lambda: nn_argmin_pallas(p, q)[0],
-        "morton": lambda: morton_nn_pallas(p_sorted, table)[2],
+        "xla": (lambda x: nn_argmin(x, q)[0], p),
+        "xla_exact": (lambda x: nn_argmin(x, q, exact=True)[0], p),
+        "pallas": (lambda x: nn_argmin_pallas(x, q)[0], p),
+        "morton": (lambda x: morton_nn_pallas(x, table)[2], p_sorted),
     }
     results = {"n": actual_n}
     for name in variants:
-        stats = benchmark(impls[name], repeats=repeats, warmup=2)
-        results[name] = stats["min"] * 1e3
+        run, arg = impls[name]
+        # slope method: per-call dispatch/RPC overhead cancels out, so this
+        # measures the kernel itself (the reference's min-of-10 measures the
+        # same thing — its dispatches are local and ~free)
+        results[name] = slope_benchmark(run, arg, repeats=max(3, repeats // 2))
     if csv_path:
         write_rows(csv_path, [(actual_n, results[v]) for v in variants if v in results],
                    header=["n", "ms"])

