@@ -4,7 +4,10 @@ ICP_point_to_point workload: synthetic z=x²-y² grid, GT transform recovery).
 Run:  python examples/basic_registration.py [--cpu]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

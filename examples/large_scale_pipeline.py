@@ -5,7 +5,10 @@ plus the multi-chip variant when more than one device is visible.
 Run:  python examples/large_scale_pipeline.py [--cpu] [--width 512]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -5,7 +5,10 @@ scan, point-to-plane ICP with on-device PCA normals
 Run:  python examples/lidar_plane_icp.py [--cpu]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -30,9 +30,15 @@ class NumpyICPResult:
     points: Optional[np.ndarray] = None
 
 
-def nn_match(p: np.ndarray, q: np.ndarray) -> np.ndarray:
-    d = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
-    return d.argmin(axis=1)
+def nn_match(p: np.ndarray, q: np.ndarray, chunk: int = 1024) -> np.ndarray:
+    """Exact brute-force NN, row-chunked so the [N, M] distance block stays
+    bounded (the unchunked form peaks at ~15 GB f64 at the 16,384-pt
+    flagship size). Identical results to the one-shot form."""
+    out = np.empty(p.shape[0], np.int64)
+    for lo in range(0, p.shape[0], chunk):
+        d = ((p[lo:lo + chunk, None, :] - q[None, :, :]) ** 2).sum(-1)
+        out[lo:lo + chunk] = d.argmin(axis=1)
+    return out
 
 
 def kabsch(p: np.ndarray, q: np.ndarray, det_correction: bool = True):
@@ -68,10 +74,18 @@ def plane_solve(p: np.ndarray, q: np.ndarray, n: np.ndarray):
     return rot(rx, ry, rz), x[3:6]
 
 
-def estimate_normals_np(q: np.ndarray, k: int = 4) -> np.ndarray:
-    d = ((q[:, None, :] - q[None, :, :]) ** 2).sum(-1)
-    order = np.argsort(d, axis=1, kind="stable")
-    nbr = q[order[:, 1 : k + 1]]  # skip self
+def estimate_normals_np(q: np.ndarray, k: int = 4,
+                        chunk: int = 1024) -> np.ndarray:
+    """PCA normals from the k nearest (non-self) neighbors; row-chunked
+    stable argsort (same tie-break semantics as the one-shot form, bounded
+    memory at flagship sizes)."""
+    m = q.shape[0]
+    nbr_idx = np.empty((m, k), np.int64)
+    for lo in range(0, m, chunk):
+        d = ((q[lo:lo + chunk, None, :] - q[None, :, :]) ** 2).sum(-1)
+        order = np.argsort(d, axis=1, kind="stable")
+        nbr_idx[lo:lo + chunk] = order[:, 1:k + 1]  # skip self
+    nbr = q[nbr_idx]
     dev = nbr - nbr.mean(1, keepdims=True)
     cov = np.einsum("mki,mkj->mij", dev, dev)
     w, v = np.linalg.eigh(cov)

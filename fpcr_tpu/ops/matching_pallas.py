@@ -27,8 +27,12 @@ Design:
   reference's first-strict-min semantics
   (/root/reference/src/CUDA/ICP_point_to_point_clean.cu:53-57).
 
-Measured (v5e, slope method, N=M=16,384): 1.38 ms vs the reference's best
-CUDA kernel 2.30 ms on an RTX 2060 (``Matching_loop_optimized.csv``).
+Measured (v5e, slope method with separate min-of-k legs, N=M=16,384):
+~2.1-2.25 ms standalone vs the reference's best CUDA kernel 2.30 ms on an
+RTX 2060 (``Matching_loop_optimized.csv``); the full fused ICP iteration
+(matching + solve + transform + error) runs at ~2.29 ms/iter. The kernel is
+MXU-bound: HIGHEST-precision f32 matmuls decompose into ~6 bf16 passes on
+the bf16-native MXU — see docs/performance.md for the precision study.
 
 On non-TPU backends the kernel runs in interpreter mode (slow; tests only).
 """
@@ -84,11 +88,18 @@ def _augment(p: jnp.ndarray, q: jnp.ndarray, q_mask: Optional[jnp.ndarray],
     p = p.astype(jnp.float32)
     q = q.astype(jnp.float32)
 
-    p_hat = jnp.zeros((n_pad, _LANES), jnp.float32)
-    p_hat = p_hat.at[:n, :3].set(-2.0 * p)
-    p_hat = p_hat.at[:n, 3].set(1.0)
-    p_hat = p_hat.at[:n, 4].set(jnp.sum(p * p, axis=1))
-    # padded source rows: p̂ = 0 → d = 0 everywhere; harmless rows.
+    # single concat (one fused XLA kernel) instead of scatter .at[].set
+    # chains — this runs EVERY loop iteration (p moves), so its kernel
+    # count matters
+    p_hat = jnp.concatenate([
+        -2.0 * p,
+        jnp.ones((n, 1), jnp.float32),
+        jnp.sum(p * p, axis=1, keepdims=True),
+        jnp.zeros((n, _LANES - 5), jnp.float32),
+    ], axis=1)
+    if n_pad > n:
+        # padded source rows: p̂ = 0 → d = 0 everywhere; harmless rows.
+        p_hat = jnp.pad(p_hat, ((0, n_pad - n), (0, 0)))
 
     q_sq = jnp.sum(q * q, axis=1)
     if q_mask is not None:

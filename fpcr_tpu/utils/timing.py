@@ -52,7 +52,7 @@ def slope_benchmark(
     run,
     arg,
     k_lo: int = 2,
-    k_hi: int = 12,
+    k_hi: int = 22,
     repeats: int = 5,
 ) -> float:
     """Per-call milliseconds of ``run(arg)`` by the slope method: jit a
@@ -77,17 +77,19 @@ def slope_benchmark(
 
     float(looped(arg, k_lo))  # warm both dispatch shapes (compile once)
     float(looped(arg, k_hi))
-    best = float("inf")
+    # min over repeats SEPARATELY for lo and hi: a single slow outlier in
+    # either leg (tunnel hiccup, GC) must not produce a garbage/negative
+    # difference
+    best_lo = best_hi = float("inf")
     for r in range(repeats):
         a = arg + np.float32(1e-6 * (r + 1))
         t0 = time.perf_counter()
         float(looped(a, k_lo))
-        t_lo = time.perf_counter() - t0
+        best_lo = min(best_lo, time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(looped(a, k_hi))
-        t_hi = time.perf_counter() - t0
-        best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
-    return best * 1e3
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return max(best_hi - best_lo, 0.0) / (k_hi - k_lo) * 1e3
 
 
 class PhaseTimer:

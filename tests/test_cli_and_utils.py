@@ -19,6 +19,9 @@ def test_cli_run_synthetic_json(capsys):
     assert payload["converged"]
     assert payload["transform_rmse_vs_gt"] < 1e-4
     assert len(payload["errors"]) == payload["iterations"]
+    metrics = payload["iteration_metrics"]
+    assert len(metrics) == payload["iterations"]
+    assert {"rmse", "matched_fraction", "delta_t", "delta_rot"} <= set(metrics[0])
 
 
 def test_cli_run_plane_distributed(capsys):
