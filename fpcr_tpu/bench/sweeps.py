@@ -32,21 +32,53 @@ def time_complexity_sweep(
     repeats: int = 3,
     matcher: str = "xla",
     csv_path: Optional[str] = None,
+    slope: bool = False,
 ) -> List[Tuple[int, float]]:
     """Time ``iterations`` ICP iterations at each width; returns
-    ``[(n_points, ms_per_iter), ...]`` (min over repeats)."""
+    ``[(n_points, ms_per_iter), ...]`` (min over repeats).
+
+    ``slope=True`` times (iterations vs iterations+10) fixed-trip loops and
+    reports the difference/10 — the honest per-iteration estimator through
+    a remote/tunneled device where each dispatch carries ~25 ms of RPC
+    (matches the reference's local-dispatch semantics; use on TPU)."""
+    import time as _time
+
     rows: List[Tuple[int, float]] = []
     for width in widths:
         scene = synthetic_scene(width=width)
-        config = ICPConfig(
-            metric=metric, max_iterations=iterations, tolerance=0.0,
-            matcher=matcher,
-        )
-        stats = benchmark(
-            lambda s=scene, c=config: run_icp(s.source, s.target, c).errors,
-            repeats=repeats, warmup=1,
-        )
-        rows.append((width * width, stats["min"] * 1e3 / iterations))
+
+        def timed(iters):
+            import numpy as _np
+
+            config = ICPConfig(
+                metric=metric, max_iterations=iters, tolerance=0.0,
+                matcher=matcher,
+            )
+            # float() forces a real D2H read (through the axon tunnel,
+            # block_until_ready returns at enqueue time); the per-repeat
+            # source perturbation defeats server-side memoization of
+            # identical executions
+            fn = lambda src, c=config: float(  # noqa: E731
+                run_icp(src, scene.target, c).errors[0])
+            fn(scene.source)  # warm/compile
+            best = float("inf")
+            for r in range(repeats):
+                src = scene.source + _np.float32(1e-6 * (r + 1))
+                t0 = _time.perf_counter()
+                fn(src)
+                best = min(best, _time.perf_counter() - t0)
+            return best
+
+        if slope:
+            # small problems run at microseconds/iter — widen the slope
+            # window so the estimate resolves above timer/tunnel noise
+            delta = 10 if width >= 64 else 400
+            lo = timed(iterations)
+            hi = timed(iterations + delta)
+            ms = max(hi - lo, 0.0) * 1e3 / delta
+        else:
+            ms = timed(iterations) * 1e3 / iterations
+        rows.append((width * width, ms))
     if csv_path:
         write_rows(csv_path, rows)
     return rows
@@ -91,6 +123,7 @@ def matching_benchmark(
         # same thing — its dispatches are local and ~free)
         results[name] = slope_benchmark(run, arg, repeats=max(3, repeats // 2))
     if csv_path:
-        write_rows(csv_path, [(actual_n, results[v]) for v in variants if v in results],
-                   header=["n", "ms"])
+        write_rows(csv_path,
+                   [(v, actual_n, results[v]) for v in variants if v in results],
+                   header=["variant", "n", "ms"])
     return results
