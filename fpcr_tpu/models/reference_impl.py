@@ -30,13 +30,17 @@ class NumpyICPResult:
     points: Optional[np.ndarray] = None
 
 
-def nn_match(p: np.ndarray, q: np.ndarray, chunk: int = 1024) -> np.ndarray:
-    """Exact brute-force NN, row-chunked so the [N, M] distance block stays
-    bounded (the unchunked form peaks at ~15 GB f64 at the 16,384-pt
-    flagship size). Identical results to the one-shot form."""
+def nn_match(p: np.ndarray, q: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    """Exact brute-force NN via the BLAS matmul form
+    (|p|² − 2 p·q + |q|²), row-chunked so the [N, M] block stays bounded
+    (the broadcast difference form peaks at ~15 GB f64 AND runs ~100×
+    slower than dgemm at the 16,384-pt flagship size). In f64 the matmul-
+    form rounding is ~1e-13 relative — far below every parity tolerance."""
+    q_sq = (q * q).sum(1)
     out = np.empty(p.shape[0], np.int64)
     for lo in range(0, p.shape[0], chunk):
-        d = ((p[lo:lo + chunk, None, :] - q[None, :, :]) ** 2).sum(-1)
+        pc = p[lo:lo + chunk]
+        d = (pc * pc).sum(1)[:, None] - 2.0 * (pc @ q.T) + q_sq[None, :]
         out[lo:lo + chunk] = d.argmin(axis=1)
     return out
 
@@ -80,9 +84,11 @@ def estimate_normals_np(q: np.ndarray, k: int = 4,
     stable argsort (same tie-break semantics as the one-shot form, bounded
     memory at flagship sizes)."""
     m = q.shape[0]
+    q_sq = (q * q).sum(1)
     nbr_idx = np.empty((m, k), np.int64)
     for lo in range(0, m, chunk):
-        d = ((q[lo:lo + chunk, None, :] - q[None, :, :]) ** 2).sum(-1)
+        qc = q[lo:lo + chunk]
+        d = (qc * qc).sum(1)[:, None] - 2.0 * (qc @ q.T) + q_sq[None, :]
         order = np.argsort(d, axis=1, kind="stable")
         nbr_idx[lo:lo + chunk] = order[:, 1:k + 1]  # skip self
     nbr = q[nbr_idx]

@@ -123,6 +123,7 @@ def main():
     try:
         import subprocess
         subprocess.run([sys.executable, "/root/repo/scripts/plot_comparison.py",
+                        "point",
                         str(OUT / "tpu_sweep_point.csv"),
                         str(OUT / "time_complexity.png")], check=True)
     except Exception as exc:
