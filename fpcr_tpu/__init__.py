@@ -41,6 +41,7 @@ from .models.history import (
     save_checkpoint,
 )
 from .models.anderson import run_aa_icp
+from .models.sgd_icp import run_sgd_icp
 from .models.batch import register_batch
 from .models.pipeline import CoarseToFineResult, icp_coarse_to_fine
 from .ops.matching import gather_correspondences, nn_argmin, pairwise_sqdist
@@ -53,6 +54,7 @@ from .data.ouster import hall_scene, load_hall_scan
 __all__ = [
     "register_batch",
     "run_aa_icp",
+    "run_sgd_icp",
     "icp_coarse_to_fine",
     "CoarseToFineResult",
     "ICPHistory",

@@ -85,6 +85,12 @@ def _cmd_run(args) -> int:
 
         t0 = time.perf_counter()
         res = run_aa_icp(scene.source, scene.target, config)
+    elif args.sgd:
+        from .models.sgd_icp import run_sgd_icp
+
+        t0 = time.perf_counter()
+        res = run_sgd_icp(scene.source, scene.target, config,
+                          batch_size=args.sgd_batch)
     elif args.coarse_to_fine:
         from .models.pipeline import icp_coarse_to_fine
 
@@ -207,6 +213,10 @@ def main(argv=None) -> int:
                      help="max correspondence distance (robust/trimmed ICP)")
     run.add_argument("--robust", default=None, choices=["huber", "tukey"],
                      help="IRLS robust loss reweighting")
+    run.add_argument("--sgd", action="store_true",
+                     help="SGD-ICP: stochastic mini-batch registration "
+                          "(arXiv:1907.09133); see also --sgd-batch")
+    run.add_argument("--sgd-batch", type=int, default=1024, dest="sgd_batch")
     run.add_argument("--anderson", action="store_true",
                      help="AA-ICP: Anderson-accelerated iteration "
                           "(fewer iterations, safeguarded)")

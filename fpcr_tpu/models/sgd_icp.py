@@ -1,0 +1,179 @@
+"""SGD-ICP: stochastic mini-batch ICP (Maken, Ramos & Ott,
+arXiv:1907.09133 — PAPERS.md).
+
+Classic ICP pays a FULL N×M matching pass per iteration. SGD-ICP instead
+updates the pose from a random mini-batch each step: match only B points
+(B ≪ N), take a stochastic gradient step on the point-to-point cost, and
+iterate. Matching cost per step drops from O(N·M) to O(B·M), which is the
+interesting regime when N is large and many cheap steps beat few exact
+ones (the paper reports parity-quality poses at a fraction of the work).
+
+TPU-native design decisions (where this deliberately departs from the
+paper's CPU/Euler formulation):
+
+* the pose lives on **se(3)** — the step perturbs the current estimate by
+  ``exp(δω)`` about the SOURCE CENTROID plus ``δt``. For the squared point
+  cost ``E = mean ‖x_i − q_i‖²`` with ``x_i = R p_i + t``, the gradient is
+  closed-form: ``∂E/∂δt = 2·mean(r_i)`` and
+  ``∂E/∂δω = 2·mean((x_i − c) × r_i)`` with ``r_i = x_i − q_i`` — three
+  mean-reductions, no autodiff needed (it equals ``jax.grad`` of the same
+  cost). Rotating about the centroid ``c`` rather than the origin
+  decouples the rotation and translation directions — with origin lever
+  arms an off-origin cloud (Bunny) stalls in an ill-conditioned valley at
+  ~10× worse pose error;
+* mini-batches are fixed-size uniform index draws from ``jax.random``
+  (``fold_in`` per iteration) — static shapes, whole loop in one
+  ``lax.while_loop`` jit like the exact loop;
+* batch matching reuses ``ops.matching.nn_argmin`` (MXU augmented matmul)
+  against the full target — a [B, M] problem, so each step is microseconds;
+* convergence is tested on an exponential moving average of the batch RMSE
+  (single-batch error is too noisy to gate on), same
+  ``E < tol ∨ |ΔE| < tol`` shape as the reference's loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.transforms import RigidTransform, rotation_exp
+from ..ops.matching import gather_correspondences, nn_argmin
+from .icp import ICPConfig, ICPResult, rotation_angle
+
+
+class _SGDState(NamedTuple):
+    transform_vec_r: jnp.ndarray  # [3, 3] accumulated rotation
+    transform_vec_t: jnp.ndarray  # [3] accumulated translation
+    velocity: jnp.ndarray  # [6] momentum buffer (ω, t)
+    ema_error: jnp.ndarray
+    prev_ema: jnp.ndarray
+    errors: jnp.ndarray
+    delta_t: jnp.ndarray
+    delta_rot: jnp.ndarray
+    iteration: jnp.ndarray
+    done: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "batch_size", "learning_rate", "momentum",
+                     "ema", "seed", "lr_decay"),
+)
+def run_sgd_icp(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    config: ICPConfig = ICPConfig(max_iterations=200, tolerance=1e-5),
+    batch_size: int = 1024,
+    learning_rate: float = 0.2,
+    momentum: float = 0.7,
+    ema: float = 0.9,
+    seed: int = 0,
+    lr_decay: float = 0.02,
+    target_mask: Optional[jnp.ndarray] = None,
+) -> ICPResult:
+    """Register ``source`` onto ``target`` with stochastic mini-batch steps.
+
+    Same result contract as ``run_icp``; ``errors`` holds the EMA-smoothed
+    batch RMSE per iteration, ``matched_fraction`` is 1 (no trimming in the
+    stochastic path — robustify by lowering ``max_correspondence_dist``-style
+    gates in a final exact polish with ``run_icp`` if needed).
+
+    The step size anneals as ``lr / (1 + lr_decay·t)`` — the paper's
+    decreasing-step-size condition; without it the pose orbits the optimum
+    at the mini-batch noise floor (observed ~1e-2 on Bunny) instead of
+    settling. Gradients are in cost units, so scale ``learning_rate`` down
+    for clouds with very large coordinate magnitudes.
+    """
+    source = source.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    n = source.shape[0]
+    centroid = jnp.mean(source, axis=0)
+    max_iter = config.max_iterations
+    tol = jnp.float32(config.tolerance)
+    key0 = jax.random.PRNGKey(seed)
+
+    def cond(st: _SGDState):
+        return jnp.logical_and(st.iteration < max_iter, ~st.done)
+
+    def body(st: _SGDState) -> _SGDState:
+        key = jax.random.fold_in(key0, st.iteration)
+        idx = jax.random.randint(key, (batch_size,), 0, n)
+        batch = jnp.take(source, idx, axis=0)  # [B, 3]
+
+        x = batch @ st.transform_vec_r.T + st.transform_vec_t  # [B, 3]
+        q_idx, _ = nn_argmin(x, target, target_mask,
+                             source_chunk=min(batch_size, 2048),
+                             target_tile=config.target_tile)
+        q_m = gather_correspondences(target, q_idx)
+
+        r = x - q_m  # [B, 3]
+        xc = x - centroid
+        g_t = 2.0 * jnp.mean(r, axis=0)  # ∂E/∂δt
+        g_w = 2.0 * jnp.mean(jnp.cross(xc, r), axis=0)  # ∂E/∂δω
+        # diagonal Gauss-Newton preconditioner: H_t ≈ 2I, H_ω ≈ 2·mean|x−c|²
+        # (isotropic approximation). Makes learning_rate a DIMENSIONLESS
+        # fraction of the Newton step — without it the rotation direction is
+        # under-scaled by the squared lever arm (~400× on Bunny) and the
+        # pose crawls along an ill-conditioned valley.
+        s_w = 2.0 * jnp.mean(jnp.sum(xc * xc, axis=1)) + 1e-12
+        grad = jnp.concatenate([g_w / s_w, g_t / 2.0])
+
+        lr_t = learning_rate / (1.0 + lr_decay * st.iteration.astype(jnp.float32))
+        vel = momentum * st.velocity - lr_t * grad
+        # compose the centroid-anchored perturbation:
+        # g(x) = dR·(x − c) + c + δt  ⇒  R ← dR·R, t ← dR·(t − c) + c + δt
+        d_rot = rotation_exp(vel[:3])
+        new_r = d_rot @ st.transform_vec_r
+        new_t = d_rot @ (st.transform_vec_t - centroid) + centroid + vel[3:]
+
+        batch_rmse = jnp.sqrt(jnp.mean(jnp.sum(r * r, axis=1)))
+        ema_err = jnp.where(st.iteration == 0, batch_rmse,
+                            ema * st.ema_error + (1.0 - ema) * batch_rmse)
+        converged = jnp.logical_and(
+            st.iteration > 10,  # let the EMA warm up
+            jnp.logical_or(ema_err < tol,
+                           jnp.abs(ema_err - st.prev_ema) < tol))
+
+        it = st.iteration
+        return _SGDState(
+            transform_vec_r=new_r,
+            transform_vec_t=new_t,
+            velocity=vel,
+            ema_error=ema_err,
+            prev_ema=ema_err,
+            errors=st.errors.at[it].set(ema_err),
+            delta_t=st.delta_t.at[it].set(jnp.linalg.norm(vel[3:])),
+            delta_rot=st.delta_rot.at[it].set(rotation_angle(d_rot)),
+            iteration=it + 1,
+            done=converged,
+        )
+
+    nanvec = jnp.full((max_iter,), jnp.nan, jnp.float32)
+    init = _SGDState(
+        transform_vec_r=jnp.eye(3, dtype=jnp.float32),
+        transform_vec_t=jnp.zeros(3, jnp.float32),
+        velocity=jnp.zeros(6, jnp.float32),
+        ema_error=jnp.float32(jnp.inf),
+        prev_ema=jnp.float32(jnp.inf),
+        errors=nanvec,
+        delta_t=nanvec,
+        delta_rot=nanvec,
+        iteration=jnp.int32(0),
+        done=jnp.bool_(False),
+    )
+    final = lax.while_loop(cond, body, init)
+    transform = RigidTransform(final.transform_vec_r, final.transform_vec_t)
+    return ICPResult(
+        transform=transform,
+        errors=final.errors,
+        num_iterations=final.iteration,
+        converged=final.done,
+        points=transform.apply(source),
+        matched_fraction=jnp.where(jnp.isnan(final.errors), jnp.nan, 1.0),
+        delta_t=final.delta_t,
+        delta_rot=final.delta_rot,
+    )
