@@ -201,7 +201,8 @@ def main(argv=None) -> int:
                      choices=["synthetic", "bunny", "bunny-full", "hall"])
     run.add_argument("--width", type=int, default=128,
                      help="synthetic grid width (N=width²)")
-    run.add_argument("--metric", default="point", choices=["point", "plane"])
+    run.add_argument("--metric", default="point",
+                     choices=["point", "plane", "symmetric"])
     run.add_argument("--max-iter", type=int, default=40)
     run.add_argument("--tol", type=float, default=1e-6)
     run.add_argument("--k", type=int, default=4, help="normals kNN size")

@@ -98,9 +98,17 @@ def run_aa_icp(
     """
     from ..ops.normals import estimate_normals
 
-    if config.metric == "plane" and target_normals is None:
+    symmetric = config.metric == "symmetric"
+    if config.metric in ("plane", "symmetric") and target_normals is None:
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
+            chunk=config.source_chunk, tile=config.target_tile,
+            banded_threshold=config.normals_banded_threshold,
+        )
+    source_normals0 = None
+    if symmetric:
+        source_normals0 = estimate_normals(
+            source, k=config.k_neighbors,
             chunk=config.source_chunk, tile=config.target_tile,
             banded_threshold=config.normals_banded_threshold,
         )
@@ -114,6 +122,8 @@ def run_aa_icp(
 
         order = source_morton_order(source, matcher_state[0][0])
         source = jnp.take(source, order, axis=0)
+        if symmetric:
+            source_normals0 = jnp.take(source_normals0, order, axis=0)
         unsort = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=jnp.int32))
 
@@ -136,9 +146,12 @@ def run_aa_icp(
     def plain_step(xvec):
         """One ICP iteration from accumulated transform x: returns g(x)."""
         points = apply_vec(xvec)
+        normals = (source_normals0 @ vector_to_transform(xvec).rotation.T
+                   if symmetric else None)
         _, inc, error, aux = icp_iteration(
             points, target, config, target_mask=target_mask,
             target_normals=target_normals, matcher_state=matcher_state,
+            source_normals=normals,
         )
         total = inc.compose(vector_to_transform(xvec))
         return transform_to_vector(total), error, aux

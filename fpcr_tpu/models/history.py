@@ -55,11 +55,21 @@ def run_icp_with_history(
     """Fixed-trip ``lax.scan`` ICP: convergence is handled by masking
     (iterations after the stop are no-ops), so every per-iteration artifact
     has a static shape — jit/vjp/shard_map friendly."""
-    if config.metric == "plane" and target_normals is None:
+    symmetric = config.metric == "symmetric"
+    if config.metric in ("plane", "symmetric") and target_normals is None:
         from ..ops.normals import estimate_normals
 
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
+            chunk=config.source_chunk, tile=config.target_tile,
+            banded_threshold=config.normals_banded_threshold,
+        )
+    source_normals = None
+    if symmetric:
+        from ..ops.normals import estimate_normals
+
+        source_normals = estimate_normals(
+            source, k=config.k_neighbors, mask=source_mask,
             chunk=config.source_chunk, tile=config.target_tile,
             banded_threshold=config.normals_banded_threshold,
         )
@@ -77,16 +87,19 @@ def run_icp_with_history(
         source = jnp.take(source, order, axis=0)
         if source_mask is not None:
             source_mask = jnp.take(source_mask, order)
+        if symmetric:
+            source_normals = jnp.take(source_normals, order, axis=0)
         unsort = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=jnp.int32))
 
     def step(carry, _):
-        points, acc, prev_e, done = carry
+        points, normals, acc, prev_e, done = carry
         new_points, inc, error, aux = icp_iteration(
             points, target, config,
             source_mask=source_mask, target_mask=target_mask,
             target_normals=target_normals, axis_name=axis_name,
             matcher_state=matcher_state,
+            source_normals=normals if symmetric else None,
         )
         # freeze the state once converged (masked no-op iteration)
         identity = RigidTransform.identity()
@@ -94,6 +107,7 @@ def run_icp_with_history(
             lambda a, b: jnp.where(done, a, b), identity, inc
         )
         new_points = jnp.where(done, points, new_points)
+        new_normals = (normals @ inc_eff.rotation.T if symmetric else normals)
         error = jnp.where(done, prev_e, error)
         acc_new = inc_eff.compose(acc)
         now_done = jnp.logical_or(
@@ -104,15 +118,17 @@ def run_icp_with_history(
                jnp.where(done, jnp.nan, aux.matched_fraction),
                jnp.linalg.norm(inc_eff.translation),
                rotation_angle(inc_eff.rotation))
-        return (new_points, acc_new, error, now_done), out
+        return (new_points, new_normals, acc_new, error, now_done), out
 
     init = (
         source.astype(jnp.float32),
+        (source_normals.astype(jnp.float32) if symmetric
+         else jnp.zeros((1, 3), jnp.float32)),
         RigidTransform.identity(),
         jnp.float32(jnp.inf),
         jnp.bool_(False),
     )
-    (points, acc, _, done), outs = lax.scan(
+    (points, _, acc, _, done), outs = lax.scan(
         step, init, None, length=config.max_iterations
     )
     if unsort is not None:

@@ -51,7 +51,7 @@ class ICPConfig:
     """Every compile-time ``#define`` of the reference becomes a field here
     (SURVEY.md §5 'Config / flag system')."""
 
-    metric: str = "point"  # 'point' | 'plane'
+    metric: str = "point"  # 'point' | 'plane' | 'symmetric'
     max_iterations: int = 40  # reference caps: 40/50/100/200
     tolerance: float = 1e-6  # GPU f32 epsilon; CPU f64 used 1e-5
     k_neighbors: int = 4  # normals kNN (ICP_point_to_plane_clean.cu:436)
@@ -92,7 +92,7 @@ class ICPConfig:
     morton_shifts: int = 1
 
     def __post_init__(self):
-        if self.metric not in ("point", "plane"):
+        if self.metric not in ("point", "plane", "symmetric"):
             raise ValueError(f"unknown metric {self.metric!r}")
         if self.solver not in ("svd", "polar"):
             raise ValueError(f"unknown solver {self.solver!r}")
@@ -130,6 +130,8 @@ def rotation_angle(rotation: jnp.ndarray) -> jnp.ndarray:
 
 class _LoopState(NamedTuple):
     points: jnp.ndarray
+    source_normals: jnp.ndarray  # rotated to the current pose (symmetric
+    # metric only; a [1,3] dummy otherwise)
     transform: RigidTransform
     prev_error: jnp.ndarray
     errors: jnp.ndarray
@@ -345,11 +347,14 @@ def icp_iteration(
     target_normals: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
     matcher_state=None,
+    source_normals: Optional[jnp.ndarray] = None,
 ):
     """One ICP iteration: returns
     ``(new_points, incremental_transform, error, IterationAux)``.
 
     ``points``/``source_mask`` may be a shard; ``target`` is replicated.
+    ``source_normals`` (already rotated to the current pose) are required
+    for ``metric='symmetric'`` only.
     """
     q_matched, n_matched, dmin, found = _correspondences(
         points, target, target_mask, target_normals, config, matcher_state)
@@ -363,6 +368,19 @@ def icp_iteration(
         inc = kabsch_transform(
             points, q_matched, mask,
             solver=config.solver, det_correction=det_fix, axis_name=axis_name,
+        )
+    elif config.metric == "symmetric":
+        # Symmetric point-to-plane (Rusinkiewicz 2019): residual
+        # (p−q)·(n_p + n_q) — same 6×6 linearization, symmetric normal.
+        # Unoriented normals can cancel; sign-align n_q to n_p first.
+        if source_normals is None:
+            raise ValueError("metric='symmetric' needs source_normals")
+        sgn = jnp.sign(jnp.sum(source_normals * n_matched, axis=1,
+                               keepdims=True))
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        inc = point_to_plane_transform(
+            points, q_matched, source_normals + sgn * n_matched, mask,
+            damping=config.damping, axis_name=axis_name,
         )
     else:
         inc = point_to_plane_transform(
@@ -387,13 +405,21 @@ def _run_icp(
     target_mask: Optional[jnp.ndarray],
     target_normals: Optional[jnp.ndarray],
     axis_name: Optional[str],
+    source_normals: Optional[jnp.ndarray] = None,
 ) -> ICPResult:
     max_iter = config.max_iterations
     tol = jnp.float32(config.tolerance)
 
-    if config.metric == "plane" and target_normals is None:
+    symmetric = config.metric == "symmetric"
+    if config.metric in ("plane", "symmetric") and target_normals is None:
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
+            chunk=config.source_chunk, tile=config.target_tile,
+            banded_threshold=config.normals_banded_threshold,
+        )
+    if symmetric and source_normals is None:
+        source_normals = estimate_normals(
+            source, k=config.k_neighbors, mask=source_mask,
             chunk=config.source_chunk, tile=config.target_tile,
             banded_threshold=config.normals_banded_threshold,
         )
@@ -414,6 +440,8 @@ def _run_icp(
         source = jnp.take(source, order, axis=0)
         if source_mask is not None:
             source_mask = jnp.take(source_mask, order)
+        if symmetric:
+            source_normals = jnp.take(source_normals, order, axis=0)
         unsort = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=jnp.int32))
 
@@ -426,14 +454,18 @@ def _run_icp(
             source_mask=source_mask, target_mask=target_mask,
             target_normals=target_normals, axis_name=axis_name,
             matcher_state=matcher_state,
+            source_normals=state.source_normals if symmetric else None,
         )
         it = state.iteration
         errors = state.errors.at[it].set(error)
         converged = jnp.logical_or(
             error < tol, jnp.abs(error - state.prev_error) < tol
         )
+        new_normals = (state.source_normals @ inc.rotation.T
+                       if symmetric else state.source_normals)
         return _LoopState(
             points=new_points,
+            source_normals=new_normals,
             transform=inc.compose(state.transform),
             prev_error=error,
             errors=errors,
@@ -450,6 +482,8 @@ def _run_icp(
     nanvec = jnp.full((max_iter,), jnp.nan, dtype=jnp.float32)
     init = _LoopState(
         points=source.astype(jnp.float32),
+        source_normals=(source_normals.astype(jnp.float32) if symmetric
+                        else jnp.zeros((1, 3), jnp.float32)),
         transform=RigidTransform.identity(),
         prev_error=jnp.float32(jnp.inf),
         errors=nanvec,
@@ -484,11 +518,12 @@ def run_icp(
     target_mask: Optional[jnp.ndarray] = None,
     target_normals: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    source_normals: Optional[jnp.ndarray] = None,
 ) -> ICPResult:
     """Register ``source`` onto ``target``; the whole loop is one jit."""
     return _run_icp(
         source, target, config, source_mask, target_mask, target_normals,
-        axis_name,
+        axis_name, source_normals,
     )
 
 

@@ -79,7 +79,7 @@ def distributed_icp(
     n = source.shape[0]
     source_p, source_mask = _pad_shardable(source.astype(jnp.float32), shards)
 
-    if config.metric == "plane" and target_normals is None:
+    if config.metric in ("plane", "symmetric") and target_normals is None:
         # Normals prepass on the replicated target (each shard would compute
         # the same thing; do it once up front).
         from ..ops.normals import estimate_normals
@@ -89,21 +89,36 @@ def distributed_icp(
             chunk=config.source_chunk, tile=config.target_tile,
             banded_threshold=config.normals_banded_threshold,
         )
+    source_normals = None
+    if config.metric == "symmetric":
+        # Source normals need the FULL neighborhood — compute them before
+        # sharding (a per-shard kNN would miss cross-shard neighbors), then
+        # shard them alongside the points.
+        from ..ops.normals import estimate_normals
+
+        source_normals = estimate_normals(
+            source.astype(jnp.float32), k=config.k_neighbors,
+            chunk=config.source_chunk, tile=config.target_tile,
+            banded_threshold=config.normals_banded_threshold,
+        )
+        source_normals, _ = _pad_shardable(source_normals, shards)
 
     has_normals = target_normals is not None
     has_tmask = target_mask is not None
 
-    def shard_fn(src, smask, tgt, tnorm, tmask):
+    def shard_fn(src, snorm, smask, tgt, tnorm, tmask):
         return _run_icp(
             src, tgt, config,
             source_mask=smask,
             target_mask=tmask if has_tmask else None,
             target_normals=tnorm if has_normals else None,
             axis_name=AXIS,
+            source_normals=snorm if config.metric == "symmetric" else None,
         )
 
     in_specs = (
         P(AXIS, None),  # source shard
+        P(AXIS, None),  # source normals shard (dummy when not symmetric)
         P(AXIS),        # source mask shard
         P(),            # target replicated
         P() if has_normals else P(),
@@ -135,6 +150,8 @@ def distributed_icp(
     # dummies keep the pytree structure static when optional inputs are absent
     tnorm_in = target_normals if has_normals else jnp.zeros((1, 3), jnp.float32)
     tmask_in = target_mask if has_tmask else jnp.zeros((1,), bool)
-    result = jax.jit(fn)(source_p, source_mask, target.astype(jnp.float32),
-                         tnorm_in, tmask_in)
+    snorm_in = (source_normals if source_normals is not None
+                else jnp.zeros_like(source_p))
+    result = jax.jit(fn)(source_p, snorm_in, source_mask,
+                         target.astype(jnp.float32), tnorm_in, tmask_in)
     return result._replace(points=result.points[:n])
