@@ -45,7 +45,8 @@ from .models.sgd_icp import run_sgd_icp
 from .models.batch import register_batch
 from .models.pipeline import CoarseToFineResult, icp_coarse_to_fine
 from .ops.matching import gather_correspondences, nn_argmin, pairwise_sqdist
-from .ops.grid import build_voxel_table, grid_nn, suggest_cell_size
+from .ops.grid import (build_voxel_table, grid_nn, suggest_cell_size,
+                       voxel_downsample)
 from .ops.solve import kabsch_transform, point_to_plane_transform
 from .data.synthetic import RegistrationScene, surface_grid, synthetic_scene, transformed_scene
 from .data.bunny import bunny_scene, load_bunny
@@ -55,6 +56,7 @@ __all__ = [
     "register_batch",
     "run_aa_icp",
     "run_sgd_icp",
+    "voxel_downsample",
     "icp_coarse_to_fine",
     "CoarseToFineResult",
     "ICPHistory",

@@ -199,3 +199,49 @@ def suggest_cell_size(q: jnp.ndarray, sample: int = 2048,
     _, d = knn(sub, q_slice, 2)
     med = jnp.sqrt(jnp.median(d[:, 1]))
     return (scale * med).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def voxel_downsample(
+    points: jnp.ndarray,
+    voxel_size,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Voxel-grid downsampling: one centroid per occupied voxel.
+
+    TPU-native static-shape formulation: quantize → spatial-hash-free exact
+    voxel keys (sorted lexicographic cell ids) → one XLA sort → run-length
+    segment ids by `cumsum(key_change)` → `segment_sum` centroids with a
+    static ``num_segments = N`` bound. Returns ``(centroids [N, 3],
+    valid [N] bool)`` — the fixed-size padded-cloud convention every loop
+    in this framework already accepts via masks (no dynamic shapes under
+    jit). Order of valid centroids follows the voxel key sort.
+
+    The reference has no downsampling utility; this is the standard
+    pipeline prepass (e.g. coarse stages, map maintenance) built the TPU
+    way instead of the usual hash-map way.
+    """
+    n = points.shape[0]
+    points = points.astype(jnp.float32)
+    h = jnp.float32(voxel_size)
+    cells = jnp.floor(points / h).astype(jnp.int32)  # [N, 3]
+    # collision-free exact grouping without 64-bit keys: lexsort the raw
+    # cell columns (invalid rows pushed to the end as the primary key)
+    invalid = (jnp.zeros((n,), jnp.int32) if mask is None
+               else (~mask).astype(jnp.int32))
+    order = jnp.lexsort((cells[:, 2], cells[:, 1], cells[:, 0], invalid))
+    cells_s = jnp.take(cells, order, axis=0)
+    pts_s = jnp.take(points, order, axis=0)
+    valid_s = (jnp.ones((n,), bool) if mask is None
+               else jnp.take(mask, order))
+
+    changed = jnp.any(cells_s[1:] != cells_s[:-1], axis=1)
+    new_seg = jnp.concatenate([
+        jnp.ones((1,), jnp.int32), changed.astype(jnp.int32)])
+    seg_id = jnp.cumsum(new_seg) - 1  # [N] in 0..K-1, K ≤ N
+
+    w = valid_s.astype(jnp.float32)
+    sums = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n)
+    counts = jax.ops.segment_sum(w, seg_id, num_segments=n)
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    return centroids, counts > 0

@@ -118,3 +118,43 @@ def test_grid_nn_rejects_worker_crashing_sizes():
     # explicit opt-out still works (tiny cap keeps it CPU-cheap here)
     idx, d, found = grid_nn(big[:64], table, cap=8)
     assert idx.shape == (64,)
+
+
+def test_voxel_downsample_matches_dict_oracle():
+    """Static-shape voxel downsampling equals the classic hash-map
+    formulation exactly (per-voxel centroids, one per occupied cell)."""
+    from collections import defaultdict
+
+    from fpcr_tpu.ops.grid import voxel_downsample
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-1, 1, (3000, 3)).astype(np.float32))
+    c, valid = voxel_downsample(pts, 0.25)
+    assert c.shape == (3000, 3) and valid.shape == (3000,)
+
+    d = defaultdict(list)
+    for p, cc in zip(np.asarray(pts),
+                     map(tuple, np.floor(np.asarray(pts) / 0.25).astype(int))):
+        d[cc].append(p)
+    k = int(np.asarray(valid).sum())
+    assert k == len(d)
+    got = {tuple(np.round(np.asarray(c)[i], 5))
+           for i in range(3000) if bool(valid[i])}
+    want = {tuple(np.round(np.mean(v, axis=0).astype(np.float32), 5))
+            for v in d.values()}
+    assert got == want
+
+
+def test_voxel_downsample_feeds_registration():
+    """Downsampled clouds register through the standard masked loop."""
+    from fpcr_tpu.ops.grid import voxel_downsample
+
+    scene = f.synthetic_scene(width=48)
+    src_c, src_m = voxel_downsample(scene.source, 0.35)
+    tgt_c, tgt_m = voxel_downsample(scene.target, 0.35)
+    res = f.run_icp(src_c, tgt_c,
+                    f.ICPConfig(max_iterations=60),
+                    source_mask=src_m, target_mask=tgt_m)
+    # voxelization decimates + shifts points, so recovery is approximate
+    assert float(f.transform_rmse(res.transform, scene.ground_truth,
+                                  scene.source)) < 0.05
