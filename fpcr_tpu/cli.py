@@ -202,7 +202,7 @@ def main(argv=None) -> int:
     run.add_argument("--width", type=int, default=128,
                      help="synthetic grid width (N=width²)")
     run.add_argument("--metric", default="point",
-                     choices=["point", "plane", "symmetric"])
+                     choices=["point", "plane", "symmetric", "gicp"])
     run.add_argument("--max-iter", type=int, default=40)
     run.add_argument("--tol", type=float, default=1e-6)
     run.add_argument("--k", type=int, default=4, help="normals kNN size")

@@ -98,8 +98,9 @@ def run_aa_icp(
     """
     from ..ops.normals import estimate_normals
 
-    symmetric = config.metric == "symmetric"
-    if config.metric in ("plane", "symmetric") and target_normals is None:
+    symmetric = config.metric in ("symmetric", "gicp")  # carries source normals
+    if (config.metric in ("plane", "symmetric", "gicp")
+            and target_normals is None):
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
             chunk=config.source_chunk, tile=config.target_tile,
@@ -146,7 +147,8 @@ def run_aa_icp(
     def plain_step(xvec):
         """One ICP iteration from accumulated transform x: returns g(x)."""
         points = apply_vec(xvec)
-        normals = (source_normals0 @ vector_to_transform(xvec).rotation.T
+        normals = (jnp.matmul(source_normals0, vector_to_transform(xvec).rotation.T,
+                              precision=jax.lax.Precision.HIGHEST)
                    if symmetric else None)
         _, inc, error, aux = icp_iteration(
             points, target, config, target_mask=target_mask,

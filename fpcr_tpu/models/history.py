@@ -55,8 +55,9 @@ def run_icp_with_history(
     """Fixed-trip ``lax.scan`` ICP: convergence is handled by masking
     (iterations after the stop are no-ops), so every per-iteration artifact
     has a static shape — jit/vjp/shard_map friendly."""
-    symmetric = config.metric == "symmetric"
-    if config.metric in ("plane", "symmetric") and target_normals is None:
+    symmetric = config.metric in ("symmetric", "gicp")  # carries source normals
+    if (config.metric in ("plane", "symmetric", "gicp")
+            and target_normals is None):
         from ..ops.normals import estimate_normals
 
         target_normals = estimate_normals(
@@ -107,7 +108,9 @@ def run_icp_with_history(
             lambda a, b: jnp.where(done, a, b), identity, inc
         )
         new_points = jnp.where(done, points, new_points)
-        new_normals = (normals @ inc_eff.rotation.T if symmetric else normals)
+        new_normals = (jnp.matmul(normals, inc_eff.rotation.T,
+                                  precision=jax.lax.Precision.HIGHEST)
+                       if symmetric else normals)  # full-f32: bf16 drifts ||n||
         error = jnp.where(done, prev_e, error)
         acc_new = inc_eff.compose(acc)
         now_done = jnp.logical_or(

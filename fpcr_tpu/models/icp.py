@@ -51,7 +51,7 @@ class ICPConfig:
     """Every compile-time ``#define`` of the reference becomes a field here
     (SURVEY.md §5 'Config / flag system')."""
 
-    metric: str = "point"  # 'point' | 'plane' | 'symmetric'
+    metric: str = "point"  # 'point' | 'plane' | 'symmetric' | 'gicp'
     max_iterations: int = 40  # reference caps: 40/50/100/200
     tolerance: float = 1e-6  # GPU f32 epsilon; CPU f64 used 1e-5
     k_neighbors: int = 4  # normals kNN (ICP_point_to_plane_clean.cu:436)
@@ -73,6 +73,9 @@ class ICPConfig:
     # 'tukey'. Extends the reference's (absent) robustness story beyond the
     # hard trim gate.
     robust_loss: Optional[str] = None
+    # Generalized-ICP surface-covariance regularization: per-point
+    # C = I - (1-eps) n n^T (eigenvalues (eps,1,1); Segal et al. 2009).
+    gicp_epsilon: float = 1e-3
     source_chunk: int = 2048
     target_tile: int = 2048
     matcher: str = "xla"  # 'xla' | 'pallas' | 'grid' | 'morton'
@@ -92,7 +95,7 @@ class ICPConfig:
     morton_shifts: int = 1
 
     def __post_init__(self):
-        if self.metric not in ("point", "plane", "symmetric"):
+        if self.metric not in ("point", "plane", "symmetric", "gicp"):
             raise ValueError(f"unknown metric {self.metric!r}")
         if self.solver not in ("svd", "polar"):
             raise ValueError(f"unknown solver {self.solver!r}")
@@ -130,8 +133,8 @@ def rotation_angle(rotation: jnp.ndarray) -> jnp.ndarray:
 
 class _LoopState(NamedTuple):
     points: jnp.ndarray
-    source_normals: jnp.ndarray  # rotated to the current pose (symmetric
-    # metric only; a [1,3] dummy otherwise)
+    source_normals: jnp.ndarray  # rotated to the current pose (symmetric /
+    # gicp metrics only; a [1,3] dummy otherwise)
     transform: RigidTransform
     prev_error: jnp.ndarray
     errors: jnp.ndarray
@@ -354,7 +357,7 @@ def icp_iteration(
 
     ``points``/``source_mask`` may be a shard; ``target`` is replicated.
     ``source_normals`` (already rotated to the current pose) are required
-    for ``metric='symmetric'`` only.
+    for ``metric='symmetric'`` and ``metric='gicp'`` only.
     """
     q_matched, n_matched, dmin, found = _correspondences(
         points, target, target_mask, target_normals, config, matcher_state)
@@ -381,6 +384,18 @@ def icp_iteration(
         inc = point_to_plane_transform(
             points, q_matched, source_normals + sgn * n_matched, mask,
             damping=config.damping, axis_name=axis_name,
+        )
+    elif config.metric == "gicp":
+        # Generalized-ICP (Segal et al. 2009): anisotropic Mahalanobis
+        # residual with surface covariances from both clouds' normals.
+        if source_normals is None:
+            raise ValueError("metric='gicp' needs source_normals")
+        from ..ops.gicp import gicp_transform
+
+        inc = gicp_transform(
+            points, q_matched, source_normals, n_matched, mask,
+            epsilon=config.gicp_epsilon, damping=config.damping,
+            axis_name=axis_name,
         )
     else:
         inc = point_to_plane_transform(
@@ -410,14 +425,17 @@ def _run_icp(
     max_iter = config.max_iterations
     tol = jnp.float32(config.tolerance)
 
-    symmetric = config.metric == "symmetric"
-    if config.metric in ("plane", "symmetric") and target_normals is None:
+    # 'symmetric' and 'gicp' also carry source normals through the loop,
+    # re-rotated by each increment.
+    carries_src_normals = config.metric in ("symmetric", "gicp")
+    if (config.metric in ("plane", "symmetric", "gicp")
+            and target_normals is None):
         target_normals = estimate_normals(
             target, k=config.k_neighbors, mask=target_mask,
             chunk=config.source_chunk, tile=config.target_tile,
             banded_threshold=config.normals_banded_threshold,
         )
-    if symmetric and source_normals is None:
+    if carries_src_normals and source_normals is None:
         source_normals = estimate_normals(
             source, k=config.k_neighbors, mask=source_mask,
             chunk=config.source_chunk, tile=config.target_tile,
@@ -440,7 +458,7 @@ def _run_icp(
         source = jnp.take(source, order, axis=0)
         if source_mask is not None:
             source_mask = jnp.take(source_mask, order)
-        if symmetric:
+        if carries_src_normals:
             source_normals = jnp.take(source_normals, order, axis=0)
         unsort = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=jnp.int32))
@@ -454,15 +472,20 @@ def _run_icp(
             source_mask=source_mask, target_mask=target_mask,
             target_normals=target_normals, axis_name=axis_name,
             matcher_state=matcher_state,
-            source_normals=state.source_normals if symmetric else None,
+            source_normals=(state.source_normals if carries_src_normals
+                            else None),
         )
         it = state.iteration
         errors = state.errors.at[it].set(error)
         converged = jnp.logical_or(
             error < tol, jnp.abs(error - state.prev_error) < tol
         )
-        new_normals = (state.source_normals @ inc.rotation.T
-                       if symmetric else state.source_normals)
+        # full-f32 rotation of the carried normals: default bf16 passes
+        # drift ||n|| by ~5e-3/iter, which makes the GICP covariances
+        # indefinite and NaNs the 6x6 Cholesky (TPU-only failure)
+        new_normals = (jnp.matmul(state.source_normals, inc.rotation.T,
+                                  precision=jax.lax.Precision.HIGHEST)
+                       if carries_src_normals else state.source_normals)
         return _LoopState(
             points=new_points,
             source_normals=new_normals,
@@ -482,7 +505,8 @@ def _run_icp(
     nanvec = jnp.full((max_iter,), jnp.nan, dtype=jnp.float32)
     init = _LoopState(
         points=source.astype(jnp.float32),
-        source_normals=(source_normals.astype(jnp.float32) if symmetric
+        source_normals=(source_normals.astype(jnp.float32)
+                        if carries_src_normals
                         else jnp.zeros((1, 3), jnp.float32)),
         transform=RigidTransform.identity(),
         prev_error=jnp.float32(jnp.inf),
@@ -548,3 +572,8 @@ def icp_point_to_point(source, target, **kwargs) -> ICPResult:
 
 def icp_point_to_plane(source, target, **kwargs) -> ICPResult:
     return _metric_wrapper("plane", source, target, kwargs)
+
+
+def icp_generalized(source, target, **kwargs) -> ICPResult:
+    """Generalized-ICP (plane-to-plane, Segal et al. 2009) registration."""
+    return _metric_wrapper("gicp", source, target, kwargs)

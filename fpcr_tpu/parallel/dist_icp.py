@@ -79,7 +79,8 @@ def distributed_icp(
     n = source.shape[0]
     source_p, source_mask = _pad_shardable(source.astype(jnp.float32), shards)
 
-    if config.metric in ("plane", "symmetric") and target_normals is None:
+    if (config.metric in ("plane", "symmetric", "gicp")
+            and target_normals is None):
         # Normals prepass on the replicated target (each shard would compute
         # the same thing; do it once up front).
         from ..ops.normals import estimate_normals
@@ -90,7 +91,7 @@ def distributed_icp(
             banded_threshold=config.normals_banded_threshold,
         )
     source_normals = None
-    if config.metric == "symmetric":
+    if config.metric in ("symmetric", "gicp"):
         # Source normals need the FULL neighborhood — compute them before
         # sharding (a per-shard kNN would miss cross-shard neighbors), then
         # shard them alongside the points.
@@ -113,7 +114,8 @@ def distributed_icp(
             target_mask=tmask if has_tmask else None,
             target_normals=tnorm if has_normals else None,
             axis_name=AXIS,
-            source_normals=snorm if config.metric == "symmetric" else None,
+            source_normals=(snorm if config.metric in ("symmetric", "gicp")
+                            else None),
         )
 
     in_specs = (
