@@ -28,6 +28,7 @@ from .core.metrics import rmse, transform_rmse
 from .models.icp import (
     ICPConfig,
     ICPResult,
+    icp_generalized,
     icp_iteration,
     icp_point_to_plane,
     icp_point_to_point,
@@ -42,12 +43,17 @@ from .models.history import (
 )
 from .models.anderson import run_aa_icp
 from .models.sgd_icp import run_sgd_icp
+from .models.scaled_icp import ScaledICPResult, run_scaled_icp
 from .models.batch import register_batch
 from .models.pipeline import CoarseToFineResult, icp_coarse_to_fine
 from .ops.matching import gather_correspondences, nn_argmin, pairwise_sqdist
 from .ops.grid import (build_voxel_table, grid_nn, suggest_cell_size,
                        voxel_downsample)
-from .ops.solve import kabsch_transform, point_to_plane_transform
+from .ops.solve import (
+    kabsch_transform,
+    point_to_plane_transform,
+    umeyama_transform,
+)
 from .data.synthetic import RegistrationScene, surface_grid, synthetic_scene, transformed_scene
 from .data.bunny import bunny_scene, load_bunny
 from .data.ouster import hall_scene, load_hall_scan
@@ -82,6 +88,7 @@ __all__ = [
     "pad_cloud",
     "rmse",
     "transform_rmse",
+    "icp_generalized",
     "icp_iteration",
     "icp_point_to_plane",
     "icp_point_to_point",
@@ -90,6 +97,9 @@ __all__ = [
     "gather_correspondences",
     "pairwise_sqdist",
     "kabsch_transform",
+    "umeyama_transform",
+    "ScaledICPResult",
+    "run_scaled_icp",
     "point_to_plane_transform",
     "surface_grid",
     "synthetic_scene",

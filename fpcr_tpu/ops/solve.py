@@ -135,6 +135,48 @@ def kabsch_transform(
     return RigidTransform(R, t)
 
 
+def umeyama_transform(
+    p: jnp.ndarray,
+    q: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    with_scale: bool = True,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, RigidTransform]:
+    """Umeyama (TPAMI 1991) similarity alignment for known correspondences:
+    returns ``(scale, RigidTransform)`` minimizing
+    ``Σ w_i ‖q_i − (s·R·p_i + t)‖²``.
+
+    Beyond-reference capability (the reference solves rigid-only Kabsch);
+    ``with_scale=False`` reduces to Kabsch with the determinant-consistent
+    reflection handling of the Umeyama paper. All reductions are masked and
+    psum-able, same as ``kabsch_transform``.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    p = p.astype(jnp.float32)
+    q = q.astype(jnp.float32)
+    w = _weights(mask, p.shape[0], jnp.float32)
+    wsum = jnp.maximum(_psum(jnp.sum(w), axis_name), 1.0)
+    p_bar = masked_centroid(p, mask, axis_name)
+    q_bar = masked_centroid(q, mask, axis_name)
+    # normalized cross-covariance Σ w (q−q̄)(p−p̄)ᵀ / Σw and source variance
+    W = cross_covariance(p, q, p_bar, q_bar, mask, axis_name) / wsum
+    dev_p = p - p_bar
+    var_p = _psum(jnp.sum(w * jnp.sum(dev_p * dev_p, axis=1)),
+                  axis_name) / wsum
+    U, D, Vt = jnp.linalg.svd(W, full_matrices=False)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    d = jnp.where(d == 0, 1.0, d)
+    U_fix = U.at[:, 2].multiply(d)
+    R = jnp.matmul(U_fix, Vt, precision=hi)
+    if with_scale:
+        s = (D[0] + D[1] + d * D[2]) / jnp.maximum(var_p, 1e-30)
+    else:
+        s = jnp.float32(1.0)
+    t = q_bar - s * jnp.matmul(R, p_bar, precision=hi)
+    return s, RigidTransform(R, t)
+
+
 def plane_normal_equations(
     p: jnp.ndarray,
     q: jnp.ndarray,
