@@ -44,6 +44,13 @@ from .models.history import (
 from .models.anderson import run_aa_icp
 from .models.sgd_icp import run_sgd_icp
 from .models.scaled_icp import ScaledICPResult, run_scaled_icp
+from .models.global_reg import (
+    GlobalRegResult,
+    global_registration,
+    register_global,
+)
+from .ops.fpfh import fpfh_features
+from .ops.normals import estimate_normals, orient_normals
 from .models.batch import register_batch
 from .models.pipeline import CoarseToFineResult, icp_coarse_to_fine
 from .ops.matching import gather_correspondences, nn_argmin, pairwise_sqdist
@@ -100,6 +107,12 @@ __all__ = [
     "umeyama_transform",
     "ScaledICPResult",
     "run_scaled_icp",
+    "GlobalRegResult",
+    "global_registration",
+    "register_global",
+    "fpfh_features",
+    "estimate_normals",
+    "orient_normals",
     "point_to_plane_transform",
     "surface_grid",
     "synthetic_scene",

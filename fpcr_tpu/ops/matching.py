@@ -96,8 +96,9 @@ def nn_argmin(
     """For every source point, the index of its nearest target point.
 
     Args:
-      p: ``[N, 3]`` source cloud.
-      q: ``[M, 3]`` target cloud.
+      p: ``[N, D]`` source points (D=3 clouds, or feature vectors — the
+        search is dimension-generic; the D-dim cross terms ride the MXU).
+      q: ``[M, D]`` target points.
       q_mask: optional ``[M]`` validity mask for padded targets.
       source_chunk / target_tile: streaming tile sizes; memory footprint is
         ``O(source_chunk * target_tile)``, never ``O(N·M)``.
@@ -124,7 +125,7 @@ def nn_argmin(
         valid_q = _pad_to(q_mask, m_pad, False)
 
     num_tiles = m_pad // tt
-    q_tiles = q_padded.reshape(num_tiles, tt, 3)
+    q_tiles = q_padded.reshape(num_tiles, tt, q.shape[1])
     mask_tiles = valid_q.reshape(num_tiles, tt)
     tile_bases = (jnp.arange(num_tiles, dtype=jnp.int32) * tt)
 
@@ -154,7 +155,7 @@ def nn_argmin(
     if num_chunks == 1:
         best_d, best_i = per_chunk(p_padded)
     else:
-        p_chunks = p_padded.reshape(num_chunks, sc, 3)
+        p_chunks = p_padded.reshape(num_chunks, sc, p.shape[1])
         best_d, best_i = lax.map(per_chunk, p_chunks)
         best_d = best_d.reshape(n_pad)
         best_i = best_i.reshape(n_pad)

@@ -173,6 +173,29 @@ def estimate_normals(
     return normals
 
 
+def orient_normals(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    viewpoint: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Flip unoriented PCA normals to a consistent sign.
+
+    ``viewpoint=None`` orients every normal AWAY from the cloud centroid
+    (right for roughly star-shaped/convex scans); otherwise normals point
+    TOWARD the given viewpoint (the usual sensor-origin convention). The
+    reference leaves normals unoriented (SURVEY.md §8) — fine for squared
+    plane residuals, but sign-sensitive consumers (FPFH features,
+    visualization) need this.
+    """
+    points = points.astype(jnp.float32)
+    if viewpoint is None:
+        ref = points - jnp.mean(points, axis=0, keepdims=True)
+    else:
+        ref = jnp.asarray(viewpoint, jnp.float32)[None, :] - points
+    s = jnp.sign(jnp.sum(normals * ref, axis=1, keepdims=True))
+    return normals * jnp.where(s == 0, 1.0, s)
+
+
 def normals_with_curvature(
     q: jnp.ndarray,
     k: int = 4,
