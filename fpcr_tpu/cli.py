@@ -107,6 +107,11 @@ def _cmd_run(args) -> int:
 
         t0 = time.perf_counter()
         res = distributed_icp(scene.source, scene.target, config)
+    elif args.global_init:
+        from .models.global_reg import register_global
+
+        t0 = time.perf_counter()
+        res = register_global(scene.source, scene.target, config)
     else:
         t0 = time.perf_counter()
         res = f.run_icp(scene.source, scene.target, config)
@@ -232,6 +237,9 @@ def main(argv=None) -> int:
                      choices=["auto", "xla", "pallas"])
     run.add_argument("--distributed", action="store_true",
                      help="shard source points over all devices")
+    run.add_argument("--global-init", action="store_true", dest="global_init",
+                     help="FPFH + RANSAC global registration first, then "
+                          "ICP refinement (no initial-pose assumption)")
     run.add_argument("--profile", action="store_true",
                      help="per-phase timing breakdown instead of a result")
     run.add_argument("--profile-iters", type=int, default=5)
