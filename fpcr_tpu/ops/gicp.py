@@ -19,13 +19,16 @@ TPU-first design notes:
   a point's covariance is fully determined by its normal:
   ``C = I - (1-eps) n n^T``. Only normals are stored; no [N,3,3]
   covariance arrays live in HBM.
-* The per-point 3x3 inverse ``M_i = (C_p_i + C_q_i)^{-1}`` is a closed-form
-  batched adjugate (``inv3x3_sym``) — pure VPU arithmetic, no lax.linalg
-  custom call, vmap/shard_map friendly.
-* The 6x6 system ``H x = -g`` is assembled from per-point 3x3 einsum
-  blocks and reduced with masked sums; H and g are psum'd over the mesh
-  axis exactly like the point/plane moments, so distributed GICP falls out
-  of the same ``axis_name`` plumbing.
+* The per-point metric ``M_i = (C_p_i + C_q_i)^{-1}`` is NEVER materialized:
+  Woodbury gives the closed form ``M = I/2 + G E G^T`` (G = [n_p n_q], E a
+  2x2 from n_p·n_q), so the whole 6x6 assembly is [N,3] cross products plus
+  [3,N]x[N,3] MXU matmul reductions — zero [N,3,3] intermediates in HBM
+  (the dense einsum-block version measured 31 ms/iter at 1M points, this
+  one ~3x less; ``inv3x3_sym`` remains as the general-covariance reference
+  path, cross-checked by the tests).
+* H and g are psum'd over the mesh axis exactly like the point/plane
+  moments, so distributed GICP falls out of the same ``axis_name``
+  plumbing.
 * The rotation update uses the exact SO(3) exponential map
   (``core.transforms.rotation_exp``) rather than an Euler rebuild.
 """
@@ -121,29 +124,75 @@ def gicp_normal_equations(
         return n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True),
                                1e-12)
 
-    A = (normal_covariances(_unit(source_normals), epsilon)
-         + normal_covariances(_unit(target_normals), epsilon))
-    M = inv3x3_sym(A)  # [N,3,3]
-
-    if mask is not None:
-        w = mask.astype(f32)
-        M = M * w[:, None, None]
-
-    S = _skew(p)
+    a = _unit(source_normals)
+    b = _unit(target_normals)
     r0 = p - q
-    # full-f32 precision on every contraction: default bf16 MXU passes are
-    # enough to make H indefinite and NaN the Cholesky on TPU (the same
-    # failure mode as the bf16 extraction matmuls in docs/performance.md)
+
+    # Woodbury form of the per-point metric (the TPU-shaped assembly):
+    # A = 2I - alpha (aa^T + bb^T)  =>  M = A^{-1} = I/2 + G E G^T with
+    # G = [a b] and a closed-form symmetric 2x2 E from kappa = 1/2 - 1/alpha
+    # and c = a.b. This removes every [N,3,3] intermediate: the dense
+    # einsum-block assembly moved ~15 x 36 MB of [N,3,3] arrays through HBM
+    # at 1M points (31 ms/iter measured); here the H/g blocks are [N,3]
+    # cross products plus [3,N]x[N,3] MXU matmul reductions (~3x faster at
+    # 1M). inv3x3_sym stays as the general-covariance reference
+    # implementation (tests cross-check the two).
+    alpha = 1.0 - epsilon
+    if alpha <= 0.0:  # epsilon >= 1: both covariances are exactly I, M = I/2
+        e11 = e12 = e22 = jnp.zeros((p.shape[0],), f32)
+    else:
+        c = jnp.sum(a * b, axis=1)
+        kappa = 0.5 - 1.0 / alpha  # <= -1/2 for alpha <= 1
+        det = kappa * kappa - 0.25 * c * c  # >= kappa^2 - 1/4 > 0
+        s = -1.0 / (4.0 * det)
+        e11 = s * kappa
+        e12 = -0.5 * s * c
+        e22 = s * kappa
+    at = e11[:, None] * a + e12[:, None] * b  # ã   (M = I/2 + a ã^T + b b̃^T)
+    bt = e12[:, None] * a + e22[:, None] * b  # b̃
+
+    w = None if mask is None else mask.astype(f32)
+
+    def _wsum(x):  # Σ w_i x_i over points, x [N, ...]
+        if w is None:
+            return jnp.sum(x, axis=0)
+        return jnp.sum(x * w.reshape((-1,) + (1,) * (x.ndim - 1)), axis=0)
+
     hi = jax.lax.Precision.HIGHEST
-    MS = jnp.einsum("nij,njk->nik", M, S, precision=hi)  # M S
-    # J = [-S, I]  =>  H blocks: [[S^T M S, -S^T M], [-M S, M]]
-    St = jnp.swapaxes(S, 1, 2)
-    B11 = jnp.sum(jnp.einsum("nij,njk->nik", St, MS, precision=hi), axis=0)
-    B12 = -jnp.sum(jnp.einsum("nij,njk->nik", St, M, precision=hi), axis=0)
-    B22 = jnp.sum(M, axis=0)
-    Mr = jnp.einsum("nij,nj->ni", M, r0, precision=hi)
-    g1 = -jnp.sum(jnp.einsum("nij,nj->ni", St, Mr, precision=hi), axis=0)
-    g2 = jnp.sum(Mr, axis=0)
+
+    def _mm(x, y):  # Σ w_i x_i y_i^T as a [3,N]x[N,3] MXU matmul
+        xw = x if w is None else x * w[:, None]
+        return jax.lax.dot_general(
+            xw, y, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hi)
+
+    def _skew3(v):  # 3-vector -> 3x3 skew
+        return jnp.array([[0.0, -v[2], v[1]],
+                          [v[2], 0.0, -v[0]],
+                          [-v[1], v[0], 0.0]], f32)
+
+    # M r0, pointwise
+    Mr = (0.5 * r0 + a * jnp.sum(at * r0, axis=1, keepdims=True)
+          + b * jnp.sum(bt * r0, axis=1, keepdims=True))
+    g2 = _wsum(Mr)
+    g1 = _wsum(jnp.cross(p, Mr))  # (-S)^T M r0 = p x (M r0)
+
+    axp = jnp.cross(a, p)   # S^T a = a x p  (S = skew(p))
+    bxp = jnp.cross(b, p)
+    atxp = jnp.cross(at, p)
+    btxp = jnp.cross(bt, p)
+
+    eye = jnp.eye(3, dtype=f32)
+    n_w = _wsum(jnp.ones((p.shape[0],), f32))
+    pw_sum = _wsum(p)
+    # B22 = Σ w M
+    B22 = 0.5 * n_w * eye + _mm(a, at) + _mm(b, bt)
+    # B12 = -Σ w S^T M ;  Σ S^T/2 = -skew(Σ w p)/2
+    B12 = -(-0.5 * _skew3(pw_sum) + _mm(axp, at) + _mm(bxp, bt))
+    # B11 = Σ w S^T M S = Σ w [ (|p|²I - pp^T)/2 + (axp)(ãxp)^T + (bxp)(b̃xp)^T ]
+    p_sq = _wsum(jnp.sum(p * p, axis=1))
+    B11 = (0.5 * (p_sq * eye - _mm(p, p))
+           + _mm(axp, atxp) + _mm(bxp, btxp))
 
     H = jnp.block([[B11, B12], [B12.T, B22]])
     g = jnp.concatenate([g1, g2])
