@@ -44,6 +44,7 @@ from .models.history import (
 from .models.anderson import run_aa_icp
 from .models.sgd_icp import run_sgd_icp
 from .models.scaled_icp import ScaledICPResult, run_scaled_icp
+from .models.odometry import OdometryResult, register_sequence
 from .models.global_reg import (
     GlobalRegResult,
     global_registration,
@@ -107,6 +108,8 @@ __all__ = [
     "umeyama_transform",
     "ScaledICPResult",
     "run_scaled_icp",
+    "OdometryResult",
+    "register_sequence",
     "GlobalRegResult",
     "global_registration",
     "register_global",

@@ -1,0 +1,46 @@
+"""Scan-sequence odometry (models/odometry.py): T-1 pairwise registrations
+vmapped into one program + associative-scan pose accumulation."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import fpcr_tpu as f
+
+
+def _trajectory(base, steps):
+    """frames[t] = G_t^{-1}(base) for an accumulating pose G_t."""
+    frames = [base]
+    G = f.RigidTransform.identity()
+    gts = [G]
+    for (t, r) in steps:
+        inc = f.gt_transform(t, r)
+        G = G.compose(inc)  # G_{t+1} = G_t ∘ inc
+        gts.append(G)
+        frames.append(G.inverse().apply(base))
+    return jnp.stack(frames), gts
+
+
+def test_register_sequence_recovers_trajectory():
+    base = f.synthetic_scene(width=24).source
+    steps = [((0.02, -0.01, 0.015), (0.01, -0.02, 0.01)),
+             ((-0.015, 0.02, 0.01), (0.015, 0.01, -0.02)),
+             ((0.01, 0.01, -0.02), (-0.01, 0.02, 0.015)),
+             ((0.02, -0.02, 0.01), (0.02, -0.01, 0.01))]
+    frames, gts = _trajectory(base, steps)
+    res = f.register_sequence(frames, f.ICPConfig(max_iterations=40))
+    assert res.poses.shape == (5, 4, 4)
+    np.testing.assert_allclose(np.asarray(res.poses[0]), np.eye(4), atol=1e-7)
+    assert bool(jnp.all(res.relative.converged))
+    # final accumulated pose matches the ground-truth trajectory
+    for t in (1, 4):
+        est = res.pose(t)
+        err = float(f.transform_rmse(est, gts[t], base))
+        assert err < 1e-4, (t, err)
+
+
+def test_register_sequence_validates_shape():
+    import pytest
+
+    with pytest.raises(ValueError):
+        f.register_sequence(jnp.zeros((1, 8, 3)))
