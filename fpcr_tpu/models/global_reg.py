@@ -64,20 +64,10 @@ def _estimate_spacing(cloud: jnp.ndarray, sample: int = 1024) -> jnp.ndarray:
 
 def _batched_kabsch(ps: jnp.ndarray, qs: jnp.ndarray):
     """Minimal-sample Kabsch for B hypotheses: ps, qs [B, s, 3] ->
-    (R [B,3,3], t [B,3]) via batched 3x3 SVD with det correction."""
-    hi = jax.lax.Precision.HIGHEST
-    p_bar = jnp.mean(ps, axis=1, keepdims=True)
-    q_bar = jnp.mean(qs, axis=1, keepdims=True)
-    W = jnp.einsum("bsi,bsj->bij", qs - q_bar, ps - p_bar, precision=hi)
-    U, _, Vt = jnp.linalg.svd(W, full_matrices=False)
-    d = jnp.sign(jnp.linalg.det(jnp.einsum("bij,bjk->bik", U, Vt,
-                                           precision=hi)))
-    d = jnp.where(d == 0, 1.0, d)
-    U = U.at[:, :, 2].multiply(d[:, None])
-    R = jnp.einsum("bij,bjk->bik", U, Vt, precision=hi)
-    t = q_bar[:, 0, :] - jnp.einsum("bij,bj->bi", R, p_bar[:, 0, :],
-                                    precision=hi)
-    return R, t
+    (R [B,3,3], t [B,3]). vmap of the shared ``kabsch_transform`` solver —
+    the SVD/det-correction logic lives in exactly one place."""
+    tr = jax.vmap(lambda a, b: kabsch_transform(a, b))(ps, qs)
+    return tr.rotation, tr.translation
 
 
 @functools.partial(
@@ -105,33 +95,40 @@ def global_registration(
     correspondences (mutually filtered) -> B-way parallel RANSAC on minimal
     samples -> masked Kabsch refinement over the inlier set.
 
-    ``tau`` (inlier distance) defaults to 3x the target's median NN
-    spacing. Refine the result with ``run_icp`` for the final 1e-6-grade
-    pose (see ``register_global``).
+    ``tau`` (inlier distance) defaults to 3x the SUBSAMPLED target's
+    median NN spacing (correspondences live at subsample resolution).
+    Refine the result with ``run_icp`` for the final 1e-6-grade pose (see
+    ``register_global``).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     source = source.astype(jnp.float32)
     target = target.astype(jnp.float32)
 
-    spacing = _estimate_spacing(target)
-    tau_val = (jnp.float32(tau) if tau is not None else 3.0 * spacing)
-
-    # features on consistently-oriented normals
-    n_s = orient_normals(source, estimate_normals(source, k=k_normals))
-    n_t = orient_normals(target, estimate_normals(target, k=k_normals))
-    f_s = fpfh_features(source, n_s, k=k_feature)
-    f_t = fpfh_features(target, n_t, k=k_feature)
-
-    # subsample source for the correspondence set (static shape)
+    # Subsample FIRST, features after (the Open3D downsample-then-FPFH
+    # recipe): computing descriptors for all N points and then keeping a
+    # strided subset would waste ~N/C of the kNN+histogram work — the
+    # dominant coarse-stage cost at large N. Both clouds are strided to
+    # comparable budgets so their neighborhood densities (which shape the
+    # histograms) stay comparable.
     n = source.shape[0]
     stride = max(1, -(-n // max_correspondences))  # ceil div
     src_sel = source[::stride]
-    f_sel = f_s[::stride]
+    t_stride = max(1, -(-target.shape[0] // (2 * max_correspondences)))
+    tgt_sel = target[::t_stride]
     c = src_sel.shape[0]
 
-    fwd, _ = nn_argmin(f_sel, f_t)  # feature NN: [C] target indices
-    q_corr = gather_correspondences(target, fwd)
+    spacing = _estimate_spacing(tgt_sel)
+    tau_val = (jnp.float32(tau) if tau is not None else 3.0 * spacing)
+
+    # features on consistently-oriented normals
+    n_s = orient_normals(src_sel, estimate_normals(src_sel, k=k_normals))
+    n_t = orient_normals(tgt_sel, estimate_normals(tgt_sel, k=k_normals))
+    f_sel = fpfh_features(src_sel, n_s, k=k_feature)
+    f_t = fpfh_features(tgt_sel, n_t, k=k_feature)
+
+    fwd, _ = nn_argmin(f_sel, f_t)  # feature NN: [C] target-subset indices
+    q_corr = gather_correspondences(tgt_sel, fwd)
     if mutual:
         # back-match the chosen target features into the SUBSAMPLED source
         # feature set: a mutual pair must be each other's nearest feature

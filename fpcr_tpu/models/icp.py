@@ -103,6 +103,11 @@ class ICPConfig:
             raise ValueError(f"unknown matcher {self.matcher!r}")
         if self.robust_loss not in (None, "huber", "tukey"):
             raise ValueError(f"unknown robust_loss {self.robust_loss!r}")
+        if not (0.0 < self.gicp_epsilon <= 1.0):
+            # epsilon = 0 makes the summed covariance exactly singular for
+            # parallel matched normals (the convergence regime) — the
+            # Woodbury assembly would divide by zero
+            raise ValueError("gicp_epsilon must be in (0, 1]")
 
 
 class ICPResult(NamedTuple):

@@ -97,8 +97,9 @@ def fpfh_features(
     if m > banded_threshold:
         from .morton import knn_morton
 
+        # monotonic clamp: the banded search wants small chunks
         idx_all, sqd_all = knn_morton(points, k + 1, mask,
-                                      chunk=chunk if chunk <= 1024 else 256)
+                                      chunk=min(chunk, 256))
     else:
         idx_all, sqd_all = knn(points, points, k + 1, mask,
                                chunk=chunk, tile=tile)

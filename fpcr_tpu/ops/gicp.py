@@ -143,7 +143,11 @@ def gicp_normal_equations(
     else:
         c = jnp.sum(a * b, axis=1)
         kappa = 0.5 - 1.0 / alpha  # <= -1/2 for alpha <= 1
-        det = kappa * kappa - 0.25 * c * c  # >= kappa^2 - 1/4 > 0
+        det = kappa * kappa - 0.25 * c * c  # >= kappa^2 - 1/4, > 0 for eps>0
+        # floor mirrors inv3x3_sym's determinant guard: epsilon -> 0 with
+        # parallel normals would otherwise divide by zero (ICPConfig
+        # validates gicp_epsilon > 0, but this op is callable directly)
+        det = jnp.maximum(det, 1e-12)
         s = -1.0 / (4.0 * det)
         e11 = s * kappa
         e12 = -0.5 * s * c

@@ -155,8 +155,8 @@ def estimate_normals(
     if m > banded_threshold:
         from .morton import knn_morton
 
-        idx_all, _ = knn_morton(q, k + 1, mask, chunk=chunk if chunk <= 1024
-                                else 256)
+        # monotonic clamp: the banded search wants small chunks
+        idx_all, _ = knn_morton(q, k + 1, mask, chunk=min(chunk, 256))
     else:
         idx_all, _ = knn(q, q, k + 1, mask, chunk=chunk, tile=tile,
                          exact=exact)

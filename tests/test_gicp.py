@@ -141,3 +141,18 @@ def test_gicp_history_and_aa():
     aa = run_aa_icp(scene.source, scene.target, cfg)
     assert float(f.transform_rmse(aa.transform, scene.ground_truth,
                                   scene.source)) < 1e-5
+
+
+def test_gicp_epsilon_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        f.ICPConfig(metric="gicp", gicp_epsilon=0.0)
+    with pytest.raises(ValueError):
+        f.ICPConfig(metric="gicp", gicp_epsilon=1.5)
+    # direct op calls with degenerate epsilon stay finite (det floor)
+    n = jnp.asarray([[0.0, 0.0, 1.0]] * 4)
+    p = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)),
+                    jnp.float32)
+    H, g = gicp_normal_equations(p, p + 0.01, n, n, epsilon=1e-9)
+    assert bool(jnp.all(jnp.isfinite(H))) and bool(jnp.all(jnp.isfinite(g)))
