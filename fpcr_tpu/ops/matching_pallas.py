@@ -27,12 +27,18 @@ Design:
   reference's first-strict-min semantics
   (/root/reference/src/CUDA/ICP_point_to_point_clean.cu:53-57).
 
+* **K-packed bf16x6 (round-2 default)**: an MXU pass costs the same for
+  any contraction depth K ≤ 128, so the ~6 SEQUENTIAL bf16 passes a
+  HIGHEST-precision f32 matmul performs over the K=8 augmentation are
+  instead laid out ALONG K — the six bf16x6 term pairs of triple-split
+  operands as one K=48 bf16 matmul. Same f32-grade distances, one-pass
+  cost.
+
 Measured (v5e, slope method with separate min-of-k legs, N=M=16,384):
-~2.1-2.25 ms standalone vs the reference's best CUDA kernel 2.30 ms on an
-RTX 2060 (``Matching_loop_optimized.csv``); the full fused ICP iteration
-(matching + solve + transform + error) runs at ~2.29 ms/iter. The kernel is
-MXU-bound: HIGHEST-precision f32 matmuls decompose into ~6 bf16 passes on
-the bf16-native MXU — see docs/performance.md for the precision study.
+**0.38 ms** standalone (packed6) vs 2.21 ms for the HIGHEST kernel and
+2.30 ms for the reference's best CUDA kernel on an RTX 2060
+(``Matching_loop_optimized.csv``) — 5.9x faster than both; see
+docs/performance.md for the precision study and the packed-K analysis.
 
 On non-TPU backends the kernel runs in interpreter mode (slow; tests only).
 """
@@ -53,7 +59,8 @@ _LANES = 8  # augmented coordinate width (5 used, padded to 8 sublanes)
 _INVALID_SURROGATE = 1e30  # |q|² stand-in for masked targets
 
 
-def _matching_kernel(p_ref, qT_ref, best_d_ref, best_i_ref):
+def _matching_kernel(p_ref, qT_ref, best_d_ref, best_i_ref, *,
+                     precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -61,12 +68,12 @@ def _matching_kernel(p_ref, qT_ref, best_d_ref, best_i_ref):
         best_d_ref[:] = jnp.full_like(best_d_ref, jnp.inf)
         best_i_ref[:] = jnp.zeros_like(best_i_ref)
 
-    # d[bn, bm] = |p|² - 2 p·q + |q|² — one MXU pass, no VPU arithmetic
+    # d[bn, bm] = |p|² - 2 p·q + |q|² — one MXU matmul, no VPU arithmetic
     d = jax.lax.dot_general(
         p_ref[:], qT_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
     local_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None]  # [bn, 1]
@@ -118,22 +125,56 @@ def _augment(p: jnp.ndarray, q: jnp.ndarray, q_mask: Optional[jnp.ndarray],
     return p_hat, qT
 
 
+def _split3(x: jnp.ndarray):
+    """Triple-bf16 split: x = h + m + l (8+8+8 mantissa bits — all 24 f32
+    mantissa bits covered).
+
+    Uses ``lax.reduce_precision`` for the roundings: with XLA's default
+    ``--xla_allow_excess_precision=true`` a plain ``x - bf16(x).astype(f32)``
+    is ELIDED to zero (the compiler keeps the f32 value through the cast
+    pair); reduce_precision is a semantic rounding op and survives.
+    """
+    h32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    r = x - h32
+    m32 = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+    l32 = jax.lax.reduce_precision(r - m32, exponent_bits=8, mantissa_bits=7)
+    return (h32.astype(jnp.bfloat16), m32.astype(jnp.bfloat16),
+            l32.astype(jnp.bfloat16))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("block_n", "block_m", "interpret")
+    jax.jit, static_argnames=("block_n", "block_m", "interpret", "mode")
 )
 def nn_argmin_pallas(
     p: jnp.ndarray,
     q: jnp.ndarray,
     q_mask: Optional[jnp.ndarray] = None,
     *,
-    block_n: int = 256,
-    block_m: int = 8192,  # (256, 8192): d block = 8 MB, best on v5e
+    block_n: int = 512,
+    block_m: int = 8192,
     interpret: Optional[bool] = None,
+    mode: str = "packed6",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas nearest-neighbor search: drop-in for ``matching.nn_argmin``.
 
+    ``mode``:
+      * ``"packed6"`` (default) — the K-packed bf16x6 kernel: an MXU pass
+        costs the same for any contraction depth K <= 128, so instead of
+        HIGHEST's ~6 SEQUENTIAL bf16 passes over the K=8 augmentation, the
+        six bf16x6 term pairs (h,h')(h,m')(m,h')(h,l')(l,h')(m,m') of the
+        triple-split operands are laid out ALONG K as one K=48 bf16
+        matmul. f32-grade distances (|err| ~ 1e-6 ulp-level; on 16,384
+        reference-scene points 1-2 argmin picks differ from exact, each a
+        near-tie within 1e-6 sqdist) at one-pass cost: measured 0.38 ms vs
+        2.21 ms for ``"highest"`` and 2.30 ms for the reference's best
+        CUDA kernel — 5.9x.
+      * ``"highest"`` — bit-exact HIGHEST-precision dot (the round-1
+        kernel; strict first-min tie semantics against f32 distances).
+
     Returns ``(idx int32[N], sqdist float32[N])``.
     """
+    if mode not in ("packed6", "highest"):
+        raise ValueError(f"unknown mode {mode!r}")
     n, m = p.shape[0], q.shape[0]
     bn = min(block_n, round_up(n, 8))
     bm = min(block_m, round_up(m, 128))
@@ -142,17 +183,30 @@ def nn_argmin_pallas(
 
     p_hat, qT = _augment(p, q, q_mask, n_pad, m_pad)
 
+    if mode == "packed6":
+        ph, pm, plo = _split3(p_hat)
+        qh, qm, qlo = _split3(qT)
+        pairs = [(ph, qh), (ph, qm), (pm, qh), (ph, qlo), (plo, qh),
+                 (pm, qm)]
+        p_in = jnp.concatenate([a for a, _ in pairs], axis=1)  # [n, 48]
+        q_in = jnp.concatenate([b for _, b in pairs], axis=0)  # [48, m]
+        kk = _LANES * len(pairs)
+        precision = None  # bf16 inputs: single-pass MXU
+    else:
+        p_in, q_in, kk = p_hat, qT, _LANES
+        precision = jax.lax.Precision.HIGHEST
+
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
     grid = (n_pad // bn, m_pad // bm)
     best_d, best_i = pl.pallas_call(
-        _matching_kernel,
+        functools.partial(_matching_kernel, precision=precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bn, _LANES), lambda i, j: (i, 0),
+            pl.BlockSpec((bn, kk), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANES, bm), lambda i, j: (0, j),
+            pl.BlockSpec((kk, bm), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -168,14 +222,14 @@ def nn_argmin_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * m_pad * _LANES + 2 * n_pad * m_pad,
-            bytes_accessed=(n_pad * _LANES * 4 * (m_pad // bm)
-                            + m_pad * _LANES * 4 * (n_pad // bn)
+            flops=2 * n_pad * m_pad * kk + 2 * n_pad * m_pad,
+            bytes_accessed=(n_pad * kk * 4 * (m_pad // bm)
+                            + m_pad * kk * 4 * (n_pad // bn)
                             + n_pad * 8),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(p_hat, qT)
+    )(p_in, q_in)
 
     # f32 cancellation can leave tiny negatives on exact/near-zero matches
     return best_i[:n, 0], jnp.maximum(best_d[:n, 0], 0.0)

@@ -77,3 +77,21 @@ def test_pallas_in_icp_loop():
         config=f.ICPConfig(max_iterations=60, matcher="pallas"),
     )
     assert float(f.transform_rmse(res.transform, scene.ground_truth, scene.source)) < 1e-4
+
+
+def test_packed6_vs_highest_modes(clouds):
+    """The K-packed bf16x6 default must agree with the bit-exact HIGHEST
+    kernel: identical argmins away from ties, f32-grade distances."""
+    p, q = clouds
+    i6, d6 = nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q),
+                              block_n=64, block_m=128, mode="packed6")
+    ih, dh = nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q),
+                              block_n=64, block_m=128, mode="highest")
+    np.testing.assert_array_equal(np.asarray(i6), np.asarray(ih))
+    np.testing.assert_allclose(np.asarray(d6), np.asarray(dh), atol=1e-5)
+
+
+def test_packed6_rejects_unknown_mode(clouds):
+    p, q = clouds
+    with pytest.raises(ValueError):
+        nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q), mode="fast")
