@@ -90,6 +90,10 @@ class ICPConfig:
     morton_window: int = 256
     morton_unroll: int = 16
     morton_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
+    # Pallas kernel precision for BOTH the brute and the Morton band
+    # matchers: 'packed6' (K-packed bf16x6 — one MXU pass, f32-grade, the
+    # fast default) | 'highest' (bit-exact f32 dot; ~6 passes)
+    pallas_mode: str = "packed6"
     # 2 = also query a half-cell-shifted second curve and keep the closer
     # match (covers Morton seam misses; ~2x matching cost)
     morton_shifts: int = 1
@@ -103,6 +107,8 @@ class ICPConfig:
             raise ValueError(f"unknown matcher {self.matcher!r}")
         if self.robust_loss not in (None, "huber", "tukey"):
             raise ValueError(f"unknown robust_loss {self.robust_loss!r}")
+        if self.pallas_mode not in ("packed6", "highest"):
+            raise ValueError(f"unknown pallas_mode {self.pallas_mode!r}")
         if not (0.0 < self.gicp_epsilon <= 1.0):
             # epsilon = 0 makes the summed covariance exactly singular for
             # parallel matched normals (the convergence regime) — the
@@ -159,7 +165,8 @@ def _match(points, target, target_mask, config: ICPConfig, matcher_state=None):
     if config.matcher == "pallas":
         from ..ops.matching_pallas import nn_argmin_pallas
 
-        idx, d = nn_argmin_pallas(points, target, target_mask)
+        idx, d = nn_argmin_pallas(points, target, target_mask,
+                                  mode=config.pallas_mode)
         return idx, d, None
     if config.matcher == "grid":
         from ..ops.grid import grid_nn
@@ -220,7 +227,11 @@ def _correspondences(points, target, target_mask, target_normals,
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
-            from ..ops.morton_pallas import morton_nn_pallas as nn_fn
+            import functools as _ft
+
+            from ..ops.morton_pallas import morton_nn_pallas
+
+            nn_fn = _ft.partial(morton_nn_pallas, mode=config.pallas_mode)
         else:
             from ..ops.morton import morton_nn as nn_fn
 

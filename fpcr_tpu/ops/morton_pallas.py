@@ -20,7 +20,18 @@ dispatch/DMA-issue overhead per band slice, which dominates at 1M points
   rows encoded as a huge ``|q|²`` surrogate — no masking pass at all;
 * matched coordinates (and optionally a second per-target table, e.g.
   normals) are extracted **in-kernel** with a band × one-hot matmul on the
-  MXU — the ICP loop body stays completely free of HBM gathers.
+  MXU — the ICP loop body stays completely free of HBM gathers;
+* ``mode='packed6'`` (default) applies the K-packed bf16x6 layout from
+  ``matching_pallas.py``: each f32 coordinate splits into three bf16 parts
+  (h+m+l, exact), the six significant cross-term pairs land in their own
+  16-sublane bf16 tile group (K=96 ≤ 128), and the band distance becomes
+  ONE bf16 MXU pass instead of HIGHEST's ~6 sequential f32 passes —
+  f32-grade distances (~1e-6 relative) at bf16 speed. The one-hot
+  extraction matmuls become *exact* under bf16: a one-hot row SELECTS a
+  single bf16 value per output, so summing the h/m/l slab rows
+  reconstructs the f32 coordinates bit-identically. 1M-point ICP drops
+  from 8.6 to 4.8 ms/iter (w=64, c=512). ``mode='highest'`` keeps the
+  bit-exact f32 kernel.
 
 Reference counterpart: none (the CUDA reference is brute force only); this
 is the kernel that makes the 1M-point north star (BASELINE.md) reachable.
@@ -44,8 +55,63 @@ _SUBLANES = 8  # augmented coordinate rows in the transposed tables
 _INVALID_SURROGATE = 1e30
 _ALIGN = 128  # lane-dim DMA alignment required by Mosaic tiling
 
+# K-packed bf16x6 layout (mode='packed6'): the six kept term pairs of the
+# triple-bf16 split (x = h+m+l), each pair in its own 16-sublane group
+# (bf16 tile alignment) -> one K=96 bf16 MXU pass replaces HIGHEST's ~6
+# sequential passes. Extraction reads single slabs of the same buffer:
+# a one-hot matmul SELECTS one bf16 value per output, so h+m+l slab sums
+# reconstruct the f32 coordinates EXACTLY (better than approximate: the
+# extracted points are bit-identical to the f32 table).
+_PAIRS = ((0, 0), (0, 1), (1, 0), (0, 2), (2, 0), (1, 1))  # (p_part, q_part)
+_GROUP = 16  # sublanes per pair slot (bf16 tile height)
+_PACKED_ROWS = _GROUP * len(_PAIRS)  # 96 <= 128: still one MXU pass
+# q-side slab row offsets holding one copy each of (h, m, l):
+# pair0 carries qh, pair1 qm, pair3 ql
+_Q_SLAB_ROWS = (0 * _GROUP, 1 * _GROUP, 3 * _GROUP)
 
-def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool):
+
+def _split3_f32(x):
+    """Triple-bf16 split values (as f32): x = h + m + l exactly.
+
+    ``lax.reduce_precision`` is mandatory: a plain ``x - bf16(x)`` pair is
+    elided under XLA's default --xla_allow_excess_precision=true.
+    """
+    h = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    r = x - h
+    m = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+    l = jax.lax.reduce_precision(r - m, exponent_bits=8, mantissa_bits=7)
+    return h, m, l
+
+
+def _pack6(xT: jnp.ndarray, side: int) -> jnp.ndarray:
+    """Pack a transposed augmented table ``[8, M]`` into the K=96 bf16
+    layout ``[96, M]``: pair slot s holds split part ``_PAIRS[s][side]``
+    in its first 8 sublanes (8 zero rows complete the bf16 tile)."""
+    parts = _split3_f32(xT)
+    rows = xT.shape[0]
+    m = xT.shape[1]
+    out = jnp.zeros((_PACKED_ROWS, m), jnp.bfloat16)
+    for s, pair in enumerate(_PAIRS):
+        out = out.at[s * _GROUP:s * _GROUP + rows].set(
+            parts[pair[side]].astype(jnp.bfloat16))
+    return out
+
+
+def _pack3(xT: jnp.ndarray) -> jnp.ndarray:
+    """Pack a ``[8, M]`` table into 3 split slabs ``[48, M]`` bf16 (h, m, l
+    at 16-row offsets) for exact one-hot extraction."""
+    parts = _split3_f32(xT)
+    rows = xT.shape[0]
+    m = xT.shape[1]
+    out = jnp.zeros((3 * _GROUP, m), jnp.bfloat16)
+    for s in range(3):
+        out = out.at[s * _GROUP:s * _GROUP + rows].set(
+            parts[s].astype(jnp.bfloat16))
+    return out
+
+
+def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool,
+                         packed: bool):
     def kernel(*refs):
         if with_extra:
             (bases_ref, pt_ref, q_hbm, e_hbm,
@@ -86,39 +152,57 @@ def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool):
                 e_dma(slot, j).wait()
 
             cols = pl.ds(j * chunk, chunk)
-            pcT = pt_ref[:, cols]  # [8, chunk] augmented source slab
-            band_q = qbuf[slot]  # [8, band] transposed augmented target
+            pcT = pt_ref[:, cols]  # [8|96, chunk] augmented source slab
+            band_q = qbuf[slot]  # [8|96, band] transposed augmented target
             d = jax.lax.dot_general(
                 band_q, pcT,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [band, chunk] = |q|² - 2 p·q + |p|² — the EXACT distance,
-            # fully inside the matmul (q̂ row 4 = 1 picks up p̂'s |p|² row)
+                precision=None if packed else jax.lax.Precision.HIGHEST,
+            )  # [band, chunk] = |q|² - 2 p·q + |p|² — the distance fully
+            # inside the matmul (q̂'s ones row picks up p̂'s |p|² row).
+            # packed: ONE K=96 bf16 pass (f32-grade); else ~6 HIGHEST passes
 
             arg = jnp.argmin(d, axis=0).astype(jnp.int32)  # [chunk]
             dmin = jnp.min(d, axis=0)
-            onehot = (row_iota == arg[None, :]).astype(jnp.float32)
-            matched_q = jax.lax.dot_general(
+            onehot_dtype = jnp.bfloat16 if packed else jnp.float32
+            onehot = (row_iota == arg[None, :]).astype(onehot_dtype)
+            matched_all = jax.lax.dot_general(
                 band_q, onehot,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                # HIGHEST: default bf16 passes would round the *extracted
-                # coordinates* to bf16 and cap ICP at ~1e-3 accuracy
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [8, chunk] — in-VMEM column extraction on the MXU
+                # one-hot extraction SELECTS single values, so bf16 slab
+                # sums reconstruct f32 exactly in packed mode; in highest
+                # mode default bf16 passes would round the extracted
+                # coordinates to bf16 and cap ICP at ~1e-3 accuracy
+                precision=None if packed else jax.lax.Precision.HIGHEST,
+            )  # [8|96, chunk] — in-VMEM column extraction on the MXU
+            if packed:
+                r0, r1, r2 = _Q_SLAB_ROWS
+                matched_q = (matched_all[r0:r0 + _SUBLANES]
+                             + matched_all[r1:r1 + _SUBLANES]
+                             + matched_all[r2:r2 + _SUBLANES])
+            else:
+                matched_q = matched_all
 
             base = bases_ref[g * unroll + j]
             out_d[pl.ds(j, 1), :] = dmin[None, :]
             out_i[pl.ds(j, 1), :] = (base + arg)[None, :]
             out_q[pl.ds(j, 1), :, :] = matched_q[None, :, :]
             if with_extra:
-                matched_e = jax.lax.dot_general(
+                matched_e_all = jax.lax.dot_general(
                     ebuf[slot], onehot,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=None if packed else jax.lax.Precision.HIGHEST,
                 )
+                if packed:
+                    matched_e = (matched_e_all[0:_SUBLANES]
+                                 + matched_e_all[_GROUP:_GROUP + _SUBLANES]
+                                 + matched_e_all[2 * _GROUP:
+                                                 2 * _GROUP + _SUBLANES])
+                else:
+                    matched_e = matched_e_all
                 out_e[pl.ds(j, 1), :, :] = matched_e[None, :, :]
 
     return kernel
@@ -126,7 +210,7 @@ def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "window", "unroll", "interpret"),
+    static_argnames=("chunk", "window", "unroll", "interpret", "mode"),
 )
 def morton_nn_pallas(
     p: jnp.ndarray,
@@ -136,13 +220,22 @@ def morton_nn_pallas(
     window: int = 256,
     unroll: int = 16,
     interpret: Optional[bool] = None,
+    mode: str = "packed6",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Drop-in for ``morton.morton_nn`` backed by the Pallas band kernel.
 
     Same contract: ``p`` rows spatially coherent (pre-sorted source),
     ``extra`` already in table order. Returns
     ``(matched_points, sqdist, idx_sorted, matched_extra)``.
+
+    ``mode="packed6"`` (default) uses the K-packed bf16x6 layout: one K=96
+    bf16 MXU pass for the band distances (f32-grade, see module docstring)
+    and EXACT one-hot extraction via bf16 slab sums; ``mode="highest"``
+    keeps the round-1 bit-exact f32 kernel.
     """
+    if mode not in ("packed6", "highest"):
+        raise ValueError(f"unknown mode {mode!r}")
+    packed = mode == "packed6"
     n = p.shape[0]
     p = p.astype(jnp.float32)
 
@@ -195,10 +288,19 @@ def morton_nn_pallas(
         interpret = jax.devices()[0].platform != "tpu"
 
     with_extra = e_hat_t is not None
-    kernel = _band_kernel_factory(chunk, band, u, with_extra)
+    kernel = _band_kernel_factory(chunk, band, u, with_extra, packed)
+
+    if packed:
+        p_hat_t = _pack6(p_hat_t, 0)  # [96, n_pad] bf16
+        q_hat_t = _pack6(q_hat_t, 1)  # [96, m_pad] bf16
+        if e_hat_t is not None:
+            e_hat_t = _pack3(e_hat_t)  # [48, m_pad] bf16
+    p_rows = p_hat_t.shape[0]
+    e_rows = None if e_hat_t is None else e_hat_t.shape[0]
+    buf_dtype = jnp.bfloat16 if packed else jnp.float32
 
     in_specs = [
-        pl.BlockSpec((_SUBLANES, u * chunk), lambda g, *_: (0, g),
+        pl.BlockSpec((p_rows, u * chunk), lambda g, *_: (0, g),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # q̂T stays in HBM
     ]
@@ -216,7 +318,7 @@ def morton_nn_pallas(
                      memory_space=pltpu.VMEM),
     ]
     scratch = [
-        pltpu.VMEM((2, _SUBLANES, band), jnp.float32),
+        pltpu.VMEM((2, p_rows, band), buf_dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     operands = [p_hat_t, q_hat_t]
@@ -228,8 +330,8 @@ def morton_nn_pallas(
                                       lambda g, *_: (g, 0, 0),
                                       memory_space=pltpu.VMEM))
         scratch = [
-            pltpu.VMEM((2, _SUBLANES, band), jnp.float32),
-            pltpu.VMEM((2, _SUBLANES, band), jnp.float32),
+            pltpu.VMEM((2, p_rows, band), buf_dtype),
+            pltpu.VMEM((2, e_rows, band), buf_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]

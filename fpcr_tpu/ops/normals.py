@@ -155,8 +155,9 @@ def estimate_normals(
     if m > banded_threshold:
         from .morton import knn_morton
 
-        # monotonic clamp: the banded search wants small chunks
-        idx_all, _ = knn_morton(q, k + 1, mask, chunk=min(chunk, 256))
+        # monotonic clamp: the band is chunk + 2*window, so clamping to 256
+        # would halve seam coverage vs the 1024 default — cap at 1024
+        idx_all, _ = knn_morton(q, k + 1, mask, chunk=min(chunk, 1024))
     else:
         idx_all, _ = knn(q, q, k + 1, mask, chunk=chunk, tile=tile,
                          exact=exact)

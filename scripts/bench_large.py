@@ -82,8 +82,8 @@ if __name__ == "__main__":
         bench_size(512, "grid")
     else:
         bench_size(128, "morton")    # 16,384
-        bench_size(512, "morton")    # 262,144
-        bench_size(1024, "morton")   # 1M, w=512 u=8
+        bench_size(512, "morton", window=64, chunk=512, unroll=8)  # 262,144
+        # packed6 band-kernel winner (r2): 4.79 ms/iter at 1M
+        bench_size(1024, "morton", window=64, chunk=512, unroll=8)
+        bench_size(1024, "morton", window=128, chunk=512, unroll=8)
         bench_size(1024, "morton", window=256, unroll=16)
-        bench_size(1024, "morton", window=256, chunk=512, unroll=8)
-        bench_size(1024, "morton", window=128, chunk=256, unroll=16)

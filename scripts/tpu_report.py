@@ -26,7 +26,8 @@ def sync(x):
     return float(np.asarray(x).ravel()[0])
 
 
-def slope_icp(width, matcher, lo=5, hi=25, repeats=3, metric="point"):
+def slope_icp(width, matcher, lo=5, hi=25, repeats=3, metric="point",
+              **cfg_kw):
     scene = f.synthetic_scene(width=width)
     gt = f.gt_transform((0.004, -0.002, 0.003), (0.002, -0.003, 0.002))
     src = jax.device_put(scene.source)
@@ -35,7 +36,7 @@ def slope_icp(width, matcher, lo=5, hi=25, repeats=3, metric="point"):
 
     def make(iters):
         cfg = f.ICPConfig(metric=metric, matcher=matcher, max_iterations=iters,
-                          tolerance=0.0)
+                          tolerance=0.0, **cfg_kw)
         def run(s, t):
             return f.run_icp(s, t, cfg)
         sync(run(src, tgt).errors[-1:])
@@ -83,10 +84,12 @@ def main():
         print(f"ladder {matcher}: {ladder[matcher]:.3f} ms/iter", flush=True)
     report["icp_ladder_16384"] = ladder
 
-    # 3) large-N morton scaling
+    # 3) large-N morton scaling (tuned packed6 band config, BENCH_NOTES)
     large = {}
     for width in (512, 1024):
-        large[width * width] = slope_icp(width, "morton")
+        large[width * width] = slope_icp(width, "morton", morton_window=64,
+                                         morton_chunk=512, morton_unroll=8,
+                                         source_chunk=2048)
         print(f"large morton N={width*width}: {large[width*width]:.3f} ms/iter",
               flush=True)
     report["morton_scaling"] = large

@@ -321,3 +321,40 @@ def test_normals_banded_threshold_exposed():
     assert float(np.mean(dots > 0.99)) > 0.9
     import fpcr_tpu as f
     assert f.ICPConfig(normals_banded_threshold=50_000).normals_banded_threshold == 50_000
+
+
+def test_morton_pallas_packed6_matches_highest():
+    """packed6 band kernel (K-packed bf16x6, one MXU pass) agrees with the
+    bit-exact f32 kernel: identical argmins, bit-identical extracted
+    coordinates/extra (one-hot slab sums are exact selections), distances
+    within f32-grade tolerance.  Cites morton_pallas.py mode='packed6'."""
+    from fpcr_tpu.ops.morton_pallas import morton_nn_pallas
+
+    rng = np.random.default_rng(21)
+    q = rng.uniform(-2, 2, (4096, 3)).astype(np.float32)
+    p = (q + rng.normal(scale=0.002, size=q.shape)).astype(np.float32)
+    table = build_morton_table(jnp.asarray(q))
+    order = source_morton_order(jnp.asarray(p), table)
+    ps = jnp.take(jnp.asarray(p), order, axis=0)
+    extra = table.points_sorted * 0.5  # stand-in for sorted normals
+
+    mh, dh, ih, eh = morton_nn_pallas(ps, table, extra=extra, mode="highest")
+    mp, dp, ip, ep = morton_nn_pallas(ps, table, extra=extra, mode="packed6")
+    assert float((np.asarray(ih) == np.asarray(ip)).mean()) == 1.0
+    np.testing.assert_array_equal(np.asarray(mh), np.asarray(mp))
+    np.testing.assert_array_equal(np.asarray(eh), np.asarray(ep))
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dp),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_morton_pallas_mode_validated():
+    from fpcr_tpu.ops.morton_pallas import morton_nn_pallas
+
+    rng = np.random.default_rng(22)
+    q = rng.uniform(-1, 1, (256, 3)).astype(np.float32)
+    table = build_morton_table(jnp.asarray(q))
+    with pytest.raises(ValueError, match="unknown mode"):
+        morton_nn_pallas(table.points_sorted, table, mode="bogus")
+    import fpcr_tpu as f
+    with pytest.raises(ValueError, match="unknown pallas_mode"):
+        f.ICPConfig(pallas_mode="bogus")
