@@ -50,6 +50,8 @@ from .models.global_reg import (
     global_registration,
     register_global,
 )
+from .models.ndt import NDTConfig, NDTResult, register_ndt, run_ndt
+from .ops.ndt import NDTGrid, build_ndt_grid, ndt_lookup
 from .ops.fpfh import fpfh_features
 from .ops.normals import estimate_normals, orient_normals
 from .models.batch import register_batch
@@ -70,6 +72,13 @@ __all__ = [
     "register_batch",
     "run_aa_icp",
     "run_sgd_icp",
+    "run_ndt",
+    "register_ndt",
+    "NDTConfig",
+    "NDTResult",
+    "NDTGrid",
+    "build_ndt_grid",
+    "ndt_lookup",
     "voxel_downsample",
     "icp_coarse_to_fine",
     "CoarseToFineResult",

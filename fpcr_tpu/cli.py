@@ -112,6 +112,12 @@ def _cmd_run(args) -> int:
 
         t0 = time.perf_counter()
         res = register_global(scene.source, scene.target, config)
+    elif args.ndt_init:
+        from .models.ndt import NDTConfig, register_ndt
+
+        t0 = time.perf_counter()
+        res = register_ndt(scene.source, scene.target, config,
+                           NDTConfig(voxel_size=args.ndt_voxel))
     else:
         t0 = time.perf_counter()
         res = f.run_icp(scene.source, scene.target, config)
@@ -240,6 +246,12 @@ def main(argv=None) -> int:
     run.add_argument("--global-init", action="store_true", dest="global_init",
                      help="FPFH + RANSAC global registration first, then "
                           "ICP refinement (no initial-pose assumption)")
+    run.add_argument("--ndt-init", action="store_true", dest="ndt_init",
+                     help="NDT (voxel Gaussian field) coarse+fine "
+                          "initialization, then ICP refinement — the "
+                          "wide-basin pipeline without feature matching")
+    run.add_argument("--ndt-voxel", type=float, default=None,
+                     help="NDT voxel size (default: auto from target spacing)")
     run.add_argument("--profile", action="store_true",
                      help="per-phase timing breakdown instead of a result")
     run.add_argument("--profile-iters", type=int, default=5)

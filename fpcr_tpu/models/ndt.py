@@ -1,0 +1,249 @@
+"""NDT registration: Gauss-Newton on the voxel Gaussian field, one jit.
+
+``run_ndt`` registers a source cloud against the NDT grid of the target
+(``ops/ndt.py``): each iteration transforms the source, looks up every
+point's voxel Gaussian (searchsorted + row gather — no trees), weights the
+residual by the robust Magnusson mixture score, and takes a damped
+Gauss-Newton step on the 6-dof pose. The whole iterate → converge loop is
+a single ``lax.while_loop`` under jit, exactly like ``models/icp.py``.
+
+Step math (small-displacement linearization per iteration, exact SO(3)
+exponential retraction — the same scheme GICP uses here):
+
+    r_i = T(p_i) − μ_v(i)            voxel residual
+    w_i = d1 d2 exp(−d2/2 · r_iᵀ S_i r_i)   (robust score curvature weight)
+    J_i = [I | −[T(p_i)]×]           ∂r/∂(δt, δθ)
+    H   = Σ w_i J_iᵀ S_i J_i ,  g = Σ w_i J_iᵀ S_i r_i  → H δ = −g
+
+Misses (points in unoccupied voxels) carry w=0 — they leave the assembly
+through the weights, never through control flow, so shapes stay static.
+
+The reference (brute-force CUDA ICP) has no NDT; parity anchor for the
+*loop structure* is the reference's convergence-gated ICP driver
+(/root/reference/src/CUDA/ICP_point_to_point_clean.cu:458-465).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.transforms import RigidTransform, rotation_exp
+from ..ops.ndt import NDTGrid, build_ndt_grid, gauss_d1_d2, ndt_lookup
+
+
+@dataclasses.dataclass(frozen=True)
+class NDTConfig:
+    """NDT knobs (mirrors ``ICPConfig``'s role for the NDT family)."""
+
+    # grid resolution (the NDT length scale); None = auto from the target's
+    # median point spacing (suggest_cell_size × 6 — aims for >=min_points
+    # per occupied surface voxel)
+    voxel_size: Optional[float] = None
+    max_iterations: int = 50
+    tolerance: float = 1e-6       # stop when |δ| drops below this
+    outlier_ratio: float = 0.55   # Magnusson mixture weight (PCL default)
+    min_points: int = 4           # voxel occupancy floor
+    eig_ratio: float = 0.01      # covariance eigenvalue clamp
+    damping: float = 1e-6         # Levenberg diagonal added to H
+    step_scale: float = 1.0       # fixed step length on δ (1 = full GN)
+    neighborhood: str = "direct7"  # 'direct1' (own voxel) | 'direct7' (+6 faces)
+
+    def __post_init__(self):
+        if self.voxel_size is not None and self.voxel_size <= 0:
+            raise ValueError("voxel_size must be positive")
+        if not (0.0 < self.outlier_ratio < 1.0):
+            raise ValueError("outlier_ratio must be in (0, 1)")
+        if self.neighborhood not in ("direct1", "direct7"):
+            raise ValueError(f"unknown neighborhood {self.neighborhood!r}")
+
+
+class NDTResult(NamedTuple):
+    transform: RigidTransform
+    errors: jnp.ndarray          # [max_iterations] mean Mahalanobis, NaN after stop
+    num_iterations: jnp.ndarray  # int32
+    converged: jnp.ndarray       # bool
+    points: jnp.ndarray          # final transformed source
+    matched_fraction: jnp.ndarray  # fraction of source points in occupied voxels
+
+
+def _skew_cols(x):
+    """[N,3] → the three columns of −[x]× stacked as [N,3,3]."""
+    zero = jnp.zeros_like(x[:, 0])
+    return jnp.stack([
+        jnp.stack([zero, -x[:, 2], x[:, 1]], axis=-1),
+        jnp.stack([x[:, 2], zero, -x[:, 0]], axis=-1),
+        jnp.stack([-x[:, 1], x[:, 0], zero], axis=-1),
+    ], axis=-2)  # [N, 3, 3] with [n, i, j] = ([x]×)_{ij}
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _ndt_loop(source, grid: NDTGrid, config: NDTConfig):
+    n = source.shape[0]
+    d1, d2 = gauss_d1_d2(config.outlier_ratio, config.voxel_size)
+    d1 = jnp.float32(abs(d1))  # d1 < 0 in the score convention; weight uses |d1|
+    d2 = jnp.float32(d2)
+    prec = jax.lax.Precision.HIGHEST
+
+    if config.neighborhood == "direct7":
+        offsets = [None, (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                   (0, 0, 1), (0, 0, -1)]
+    else:
+        offsets = [None]
+
+    def body(state):
+        R, t, it, err_hist, delta_norm, frac = state
+        # HIGHEST is mandatory: TPU's default bf16 matmul perturbs the
+        # transformed coordinates ~1e-3 relative, which caps the NDT pose
+        # at ~1e-2 error (hardware-measured — same failure mode as the
+        # GICP normals rotation, see BENCH_NOTES)
+        x = jnp.einsum("ni,ji->nj", source, R, precision=prec) + t
+        sk = _skew_cols(x)  # [N,3,3] = [x]× =: K
+
+        H = jnp.zeros((6, 6), jnp.float32)
+        g = jnp.zeros((6,), jnp.float32)
+        err_num = jnp.float32(0.0)
+        err_den = jnp.float32(0.0)
+        any_hit = jnp.zeros((x.shape[0],), bool)
+        # DIRECT7-style multi-voxel field: every occupied voxel in the face
+        # neighborhood contributes its Gaussian (static unrolled loop — no
+        # dynamic shapes, just K× the searchsorted+gather)
+        for off in offsets:
+            mu, sinv, hit = ndt_lookup(x, grid, cell_offset=off)
+            r = x - mu
+            sr = jnp.einsum("nij,nj->ni", sinv, r, precision=prec)  # S r
+            q = jnp.sum(r * sr, axis=1)  # Mahalanobis² (0 for misses)
+            w = d1 * d2 * jnp.exp(jnp.clip(-0.5 * d2 * q, -60.0, 0.0))
+            w = jnp.where(hit, w, 0.0)
+            any_hit = any_hit | hit
+
+            # Jᵀ S r: t-block = S r, θ-block = Kᵀᵀ... = x × (S r)
+            g_t = jnp.einsum("n,ni->i", w, sr, precision=prec)
+            g_th = jnp.einsum("n,ni->i", w, jnp.cross(x, sr),
+                              precision=prec)
+            # H blocks (6×6 symmetric), J = [I | −K], Kᵀ = −K:
+            #   A = Σ w S                       (t,t)
+            #   B = Σ w S(−K) = −Σ w S·K        (t,θ)
+            #   C = Σ w (−K)ᵀS(−K) = Σ w KᵀSK   (θ,θ) — PSD: vᵀKᵀSKv ≥ 0
+            s_sk = jnp.einsum("nij,njk->nik", sinv, sk, precision=prec)
+            A = jnp.einsum("n,nij->ij", w, sinv, precision=prec)
+            B = -jnp.einsum("n,nij->ij", w, s_sk, precision=prec)
+            C = jnp.einsum("n,nji,njk->ik", w, sk, s_sk, precision=prec)
+            H = H + jnp.block([[A, B], [B.T, C]])
+            g = g + jnp.concatenate([g_t, g_th])
+            err_num = err_num + jnp.sum(jnp.where(hit, q, 0.0))
+            err_den = err_den + jnp.sum(hit.astype(jnp.float32))
+
+        floor = config.damping + 1e-7 * (jnp.trace(H) / 6.0) + 1e-30
+        Hd = H + floor * jnp.eye(6, dtype=H.dtype)
+        chol, lower = jax.scipy.linalg.cho_factor(Hd)
+        delta = -config.step_scale * jax.scipy.linalg.cho_solve(
+            (chol, lower), g)
+
+        R_inc = rotation_exp(delta[3:6])
+        R_new = jnp.matmul(R_inc, R, precision=prec)
+        t_new = jnp.matmul(R_inc, t, precision=prec) + delta[0:3]
+
+        err = err_num / jnp.maximum(err_den, 1.0)
+        err_hist = err_hist.at[it].set(err)
+        frac = jnp.mean(any_hit.astype(jnp.float32))
+        return (R_new, t_new, it + 1, err_hist,
+                jnp.linalg.norm(delta), frac)
+
+    def cond(state):
+        _, _, it, _, delta_norm, _ = state
+        return (it < config.max_iterations) & (delta_norm > config.tolerance)
+
+    state0 = (
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32),
+        jnp.int32(0),
+        jnp.full((config.max_iterations,), jnp.nan, jnp.float32),
+        jnp.float32(jnp.inf),
+        jnp.float32(0.0),
+    )
+    R, t, it, err_hist, delta_norm, frac = lax.while_loop(cond, body, state0)
+    converged = delta_norm <= config.tolerance
+    return R, t, it, err_hist, converged, frac
+
+
+def run_ndt(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    config: Optional[NDTConfig] = None,
+    *,
+    grid: Optional[NDTGrid] = None,
+    target_mask: Optional[jnp.ndarray] = None,
+) -> NDTResult:
+    """Register ``source`` onto ``target`` with NDT.
+
+    Pass a prebuilt ``grid`` to amortize the voxelization across scans
+    (the map-tracking pattern: build once, register every frame — compare
+    ``models/odometry.py``).
+    """
+    config = config or NDTConfig()
+    src = source.astype(jnp.float32)
+    if config.voxel_size is None:
+        if grid is not None:
+            config = dataclasses.replace(
+                config, voxel_size=float(grid.voxel_size))
+        else:
+            from ..ops.grid import suggest_cell_size
+
+            config = dataclasses.replace(
+                config,
+                voxel_size=float(suggest_cell_size(target, scale=6.0)))
+    if grid is None:
+        grid = build_ndt_grid(target, config.voxel_size, target_mask,
+                              min_points=config.min_points,
+                              eig_ratio=config.eig_ratio)
+    R, t, it, errs, converged, frac = _ndt_loop(src, grid, config)
+    tf = RigidTransform(rotation=R, translation=t)
+    return NDTResult(transform=tf, errors=errs, num_iterations=it,
+                     converged=converged, points=tf.apply(src),
+                     matched_fraction=frac)
+
+
+def register_ndt(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    icp_config=None,
+    ndt_config: Optional[NDTConfig] = None,
+    *,
+    coarse_scale: float = 3.0,
+):
+    """NDT initialization + ICP refinement (the wide-basin pipeline).
+
+    Two NDT stages (coarse voxels ``coarse_scale``× the fine size, then
+    fine) pull the pose into ICP's convergence basin; the framework's
+    exact ICP (``models/icp.py``) then polishes to its usual ~1e-6
+    contract. Mirrors ``models/global_reg.register_global``'s shape: the
+    returned ``ICPResult.transform`` is the COMPOSED source→target
+    estimate, so downstream code (CLI, tests) treats it exactly like a
+    plain ``run_icp`` result.
+    """
+    import dataclasses as _dc
+
+    from .icp import ICPConfig, run_icp
+
+    icp_config = icp_config or ICPConfig()
+    ndt_config = ndt_config or NDTConfig()
+    if ndt_config.voxel_size is None:
+        from ..ops.grid import suggest_cell_size
+
+        ndt_config = _dc.replace(
+            ndt_config, voxel_size=float(suggest_cell_size(target, scale=6.0)))
+
+    coarse = _dc.replace(ndt_config,
+                         voxel_size=coarse_scale * ndt_config.voxel_size)
+    res_c = run_ndt(source, target, coarse)
+    res_f = run_ndt(res_c.points, target, ndt_config)
+    init = res_f.transform.compose(res_c.transform)
+
+    res = run_icp(init.apply(source), target, icp_config)
+    return res._replace(transform=res.transform.compose(init))

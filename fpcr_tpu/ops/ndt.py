@@ -1,0 +1,184 @@
+"""NDT voxel Gaussian grid: per-voxel (mean, inverse covariance) tables.
+
+The Normal Distributions Transform (Biber & Strasser 2003; Magnusson 2009)
+replaces point-to-point correspondences with a piecewise-smooth Gaussian
+field: the target cloud is voxelized once, each occupied voxel keeps the
+mean and covariance of its points, and registration maximizes the
+likelihood of the transformed source under that field. The CUDA reference
+has no NDT; this is a beyond-reference model family built the TPU way.
+
+TPU-first design (static shapes throughout, no hash maps):
+
+* **Grid build = one sort + segment_sums.** Voxel cells are packed into a
+  30-bit scalar key (10 bits/axis relative to the cloud min corner — the
+  same bound the Morton tables use), rows are sorted by key once (XLA
+  sort), run-length segment ids come from ``cumsum(key changed)``, and the
+  count/mean/second-moment of every voxel are ``segment_sum``s with the
+  static bound ``num_segments = N``. The result is a fixed-shape table of
+  ≤N voxels with a validity mask — the padded-cloud convention every loop
+  in this framework uses (compare ``ops/grid.py::voxel_downsample``).
+* **Covariance regularization on device.** Near-planar voxels make Σ
+  singular; Magnusson's fix (thesis §6.2.3) clamps eigenvalues to
+  ``λ_k ≥ eig_ratio · λ_max``. The batched closed-form ``ops/eigh3``
+  does this without LAPACK round trips, and the *inverse* covariance is
+  rebuilt directly as ``V diag(1/λ') Vᵀ`` — the solver never inverts.
+* **Lookup = searchsorted, not pointer chasing.** The unique voxel keys
+  are ascending by construction (segments of a sorted array), so a source
+  point finds its voxel with one binary search over a [N] vector plus one
+  row gather — no tree, no hash probing, no dynamic shapes.
+
+Reference for behavior only: the CUDA reference implements brute-force ICP
+(/root/reference/src/CUDA/ICP_point_to_point_clean.cu); NDT is additional
+capability at the same API surface.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .eigh3 import eigh3
+
+_AXIS_BITS = 10  # 1024 cells per axis — ample for NDT resolutions
+_KEY_PAD = jnp.int32(2 ** 31 - 1)  # padding key; sorts after all real keys
+
+
+class NDTGrid(NamedTuple):
+    """Fixed-shape voxel Gaussian table (rows ≤ N voxels, mask-padded)."""
+
+    keys: jnp.ndarray       # [N] int32 ascending unique voxel keys (pad=MAX)
+    mu: jnp.ndarray         # [N, 3] voxel means
+    sinv: jnp.ndarray       # [N, 3, 3] regularized inverse covariances
+    valid: jnp.ndarray      # [N] bool — voxel exists and has >= min_points
+    lo: jnp.ndarray         # [3] grid origin (min corner)
+    voxel_size: jnp.ndarray  # scalar f32
+
+
+def _cells(points: jnp.ndarray, lo: jnp.ndarray, h) -> jnp.ndarray:
+    """Integer voxel coordinates per point (clipped to the 10-bit range)."""
+    return jnp.clip(jnp.floor((points - lo) / h).astype(jnp.int32),
+                    0, (1 << _AXIS_BITS) - 1)
+
+
+def _pack(cells: jnp.ndarray) -> jnp.ndarray:
+    """Packed 30-bit scalar key from ``[N, 3]`` voxel coordinates."""
+    return ((cells[..., 0] << (2 * _AXIS_BITS))
+            | (cells[..., 1] << _AXIS_BITS) | cells[..., 2])
+
+
+def _cell_keys(points: jnp.ndarray, lo: jnp.ndarray, h) -> jnp.ndarray:
+    """Packed 30-bit voxel key per point (10 bits/axis, clipped)."""
+    return _pack(_cells(points, lo, h))
+
+
+@functools.partial(jax.jit, static_argnames=("min_points",))
+def build_ndt_grid(
+    target: jnp.ndarray,
+    voxel_size,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    min_points: int = 4,
+    eig_ratio: float = 0.01,
+) -> NDTGrid:
+    """Voxelize ``target`` into per-voxel Gaussians (one-time prepass).
+
+    Args:
+      target: ``[N, 3]`` cloud.
+      voxel_size: edge length of the cubic voxels (the NDT resolution).
+      mask: optional validity mask for padded clouds.
+      min_points: voxels with fewer points are invalid (a covariance from
+        <4 points is rank-deficient; Magnusson uses 5, PCL 6 — exposed).
+      eig_ratio: eigenvalue floor ``λ_k >= eig_ratio * λ_max``.
+    """
+    n = target.shape[0]
+    pts = target.astype(jnp.float32)
+    h = jnp.float32(voxel_size)
+    w_in = (jnp.ones((n,), jnp.float32) if mask is None
+            else mask.astype(jnp.float32))
+    lo = jnp.min(jnp.where(w_in[:, None] > 0, pts, jnp.inf), axis=0)
+
+    keys = jnp.where(w_in > 0, _cell_keys(pts, lo, h), _KEY_PAD)
+    order = jnp.argsort(keys)
+    keys_s = jnp.take(keys, order)
+    pts_s = jnp.take(pts, order, axis=0)
+    w_s = jnp.take(w_in, order)
+
+    changed = keys_s[1:] != keys_s[:-1]
+    seg_id = jnp.cumsum(
+        jnp.concatenate([jnp.ones((1,), jnp.int32),
+                         changed.astype(jnp.int32)])) - 1  # [N] in 0..K-1
+
+    counts = jax.ops.segment_sum(w_s, seg_id, num_segments=n)  # [N]
+    sums = jax.ops.segment_sum(pts_s * w_s[:, None], seg_id, num_segments=n)
+    # second moments: 6 unique entries of x x^T per point, summed per voxel
+    xx = pts_s[:, :, None] * pts_s[:, None, :] * w_s[:, None, None]
+    moments = jax.ops.segment_sum(
+        xx.reshape(n, 9), seg_id, num_segments=n).reshape(n, 3, 3)
+    # the key of each segment (rows of a segment share it); empty segments
+    # (beyond K) get iinfo.min from segment_max — rewritten to the pad key
+    seg_keys = jax.ops.segment_max(keys_s, seg_id, num_segments=n)
+
+    c_safe = jnp.maximum(counts, 1.0)
+    mu = sums / c_safe[:, None]
+    cov = moments / c_safe[:, None, None] - mu[:, None, :] * mu[:, :, None]
+    # empty segments (beyond K) carry segment_max's int32 min — rewrite to
+    # the pad key so the table stays ascending (real keys < 2^30 < pad)
+    seg_keys = jnp.where((seg_keys >= 0) & (counts > 0), seg_keys, _KEY_PAD)
+    valid = (counts >= float(min_points)) & (seg_keys != _KEY_PAD)
+
+    # Magnusson §6.2.3 eigenvalue clamp, then invert in the eigenbasis
+    lams, vecs = eigh3(jnp.where(valid[:, None, None], cov, jnp.eye(3)))
+    lam_max = jnp.maximum(lams[:, 2], 1e-12)
+    lam_c = jnp.maximum(lams, eig_ratio * lam_max[:, None])
+    sinv = jnp.einsum("nik,nk,njk->nij", vecs, 1.0 / lam_c, vecs,
+                      precision=jax.lax.Precision.HIGHEST)
+    sinv = jnp.where(valid[:, None, None], sinv,
+                     jnp.zeros((3, 3), jnp.float32))
+
+    return NDTGrid(keys=seg_keys, mu=mu, sinv=sinv, valid=valid,
+                   lo=lo, voxel_size=h)
+
+
+def ndt_lookup(
+    points: jnp.ndarray,
+    grid: NDTGrid,
+    cell_offset: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-point voxel stats: ``(mu [N,3], sinv [N,3,3], valid [N])``.
+
+    One searchsorted over the ascending unique-key table + one row gather.
+    ``cell_offset`` ([3] ints) queries a *neighboring* voxel (the PCL
+    DIRECT7-style multi-voxel field — see ``models/ndt.py``). Points whose
+    queried voxel is unoccupied (or under-populated) come back with
+    ``valid=False`` and zero ``sinv`` — they drop out of the Newton
+    assembly through the weight, not through control flow.
+    """
+    c = _cells(points.astype(jnp.float32), grid.lo, grid.voxel_size)
+    if cell_offset is not None:
+        c = jnp.clip(c + jnp.asarray(cell_offset, jnp.int32)[None, :],
+                     0, (1 << _AXIS_BITS) - 1)
+    k = _pack(c)
+    pos = jnp.searchsorted(grid.keys, k)
+    pos = jnp.clip(pos, 0, grid.keys.shape[0] - 1)
+    hit = (jnp.take(grid.keys, pos) == k) & jnp.take(grid.valid, pos)
+    mu = jnp.take(grid.mu, pos, axis=0)
+    sinv = jnp.take(grid.sinv, pos, axis=0)
+    sinv = jnp.where(hit[:, None, None], sinv, 0.0)
+    return mu, sinv, hit
+
+
+def gauss_d1_d2(outlier_ratio: float, resolution: float) -> Tuple[float, float]:
+    """Magnusson thesis eq. 6.8: mixture constants for the robust NDT score
+    ``-d1 exp(-d2/2 * r^T S r)`` given the uniform-outlier ratio and the
+    voxel resolution. Python floats (config-time, not traced)."""
+    import math
+
+    c1 = 10.0 * (1.0 - outlier_ratio)
+    c2 = outlier_ratio / (resolution ** 3)
+    d3 = -math.log(c2)
+    d1 = -math.log(c1 + c2) - d3
+    d2 = -2.0 * math.log((-math.log(c1 * math.exp(-0.5) + c2) - d3) / d1)
+    return d1, d2

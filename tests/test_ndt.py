@@ -1,0 +1,140 @@
+"""NDT: voxel Gaussian grid build/lookup, registration, NDT+ICP pipeline."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import fpcr_tpu as f
+from fpcr_tpu.models.ndt import NDTConfig, register_ndt, run_ndt
+from fpcr_tpu.ops.ndt import build_ndt_grid, gauss_d1_d2, ndt_lookup
+
+
+def test_grid_stats_match_numpy():
+    """Per-voxel mean/inverse-covariance agree with a numpy groupby."""
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1.0, (2000, 3)).astype(np.float32)
+    h = 0.25
+    grid = build_ndt_grid(jnp.asarray(pts), h, min_points=4, eig_ratio=0.01)
+
+    lo = pts.min(0)  # the grid's origin is the cloud min corner
+    cells = np.floor((pts - lo) / h).astype(np.int64)
+    keys = cells[:, 0] * (1 << 20) + cells[:, 1] * (1 << 10) + cells[:, 2]
+    mu_g = np.asarray(grid.mu)
+    keys_g = np.asarray(grid.keys)
+    valid_g = np.asarray(grid.valid)
+    for key in np.unique(keys):
+        members = pts[keys == key]
+        pos = np.searchsorted(keys_g, key)
+        if len(members) < 4:
+            assert not (keys_g[pos] == key and valid_g[pos])
+            continue
+        assert keys_g[pos] == key and valid_g[pos]
+        np.testing.assert_allclose(mu_g[pos], members.mean(0), atol=1e-5)
+        # inverse covariance: reconstruct and compare against the clamped
+        # eigenvalue form
+        cov = np.cov(members.T, bias=True)
+        lam, v = np.linalg.eigh(cov)
+        lam = np.maximum(lam, 0.01 * lam.max())
+        sinv_ref = v @ np.diag(1.0 / lam) @ v.T
+        np.testing.assert_allclose(np.asarray(grid.sinv)[pos], sinv_ref,
+                                   rtol=0.03, atol=1e-3 * abs(sinv_ref).max())
+
+
+def test_lookup_hits_and_misses():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 1.0, (4000, 3)).astype(np.float32)
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    mu, sinv, hit = ndt_lookup(jnp.asarray(pts), grid)
+    assert float(hit.mean()) > 0.95  # dense cube: nearly every voxel occupied
+    # far-away queries miss, with zeroed sinv
+    far = jnp.asarray(pts + 50.0)
+    _, sinv_f, hit_f = ndt_lookup(far, grid)
+    assert not bool(hit_f.any())
+    assert float(jnp.abs(sinv_f).max()) == 0.0
+
+
+def test_lookup_neighbor_offset():
+    """cell_offset queries the adjacent voxel's Gaussian."""
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(0, 1.0, (4000, 3)).astype(np.float32)
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    probe = jnp.asarray([[0.375, 0.375, 0.375]])
+    mu0, _, hit0 = ndt_lookup(probe, grid)
+    mu1, _, hit1 = ndt_lookup(probe, grid, cell_offset=jnp.asarray([1, 0, 0]))
+    assert bool(hit0[0]) and bool(hit1[0])
+    # the +x neighbor's mean is ~one voxel to the right
+    assert float(mu1[0, 0] - mu0[0, 0]) == pytest.approx(0.25, abs=0.1)
+
+
+def test_gauss_constants_match_published_form():
+    """Magnusson eq. 6.8 at PCL defaults: d1 < 0, d2 > 0, finite."""
+    d1, d2 = gauss_d1_d2(0.55, 1.0)
+    assert d1 < 0 and np.isfinite(d1)
+    assert d2 > 0 and np.isfinite(d2)
+
+
+def test_ndt_registers_small_displacement():
+    scene = f.synthetic_scene(width=48)
+    gt = f.gt_transform((0.02, -0.015, 0.01), (0.03, -0.02, 0.015))
+    tgt = gt.apply(scene.source)
+    res = run_ndt(scene.source, tgt, NDTConfig(voxel_size=0.4,
+                                               max_iterations=60))
+    assert bool(res.converged)
+    assert float(res.matched_fraction) > 0.9
+    # NDT converges to the voxel-field optimum (~1e-3 scale), not ICP's 1e-6
+    assert float(f.transform_rmse(res.transform, gt, scene.source)) < 5e-3
+
+
+def test_ndt_prebuilt_grid_reuse():
+    """Map-tracking pattern: one grid, many registrations."""
+    scene = f.synthetic_scene(width=32)
+    cfg = NDTConfig(voxel_size=0.5, max_iterations=40)
+    grid = f.build_ndt_grid(scene.source, cfg.voxel_size)
+    for seed in (3, 4):
+        rng = np.random.default_rng(seed)
+        ang = 0.01 * rng.standard_normal(3)
+        tr = 0.02 * rng.standard_normal(3)
+        gt = f.gt_transform(tuple(ang), tuple(tr))
+        # register the PERTURBED source back onto the original (grid target)
+        res = run_ndt(gt.apply(scene.source), scene.source, cfg, grid=grid)
+        err = float(f.transform_rmse(res.transform, gt.inverse(),
+                                     gt.apply(scene.source)))
+        assert err < 5e-3, err
+
+
+def test_register_ndt_wide_basin_plus_refine():
+    """Large displacement: NDT coarse-to-fine init + ICP refine hits the
+    exact-ICP contract."""
+    scene = f.synthetic_scene(width=48)
+    gt = f.gt_transform((0.25, -0.2, 0.15), (0.3, -0.25, 0.2))
+    tgt = gt.apply(scene.source)
+    res = register_ndt(scene.source, tgt,
+                       f.ICPConfig(max_iterations=40))
+    assert float(f.transform_rmse(res.transform, gt, scene.source)) < 1e-5
+
+
+def test_ndt_config_validation():
+    with pytest.raises(ValueError, match="voxel_size"):
+        NDTConfig(voxel_size=-1.0)
+    with pytest.raises(ValueError, match="outlier_ratio"):
+        NDTConfig(outlier_ratio=1.5)
+    with pytest.raises(ValueError, match="neighborhood"):
+        NDTConfig(neighborhood="direct27")
+
+
+def test_ndt_masked_target():
+    """Padded target rows don't contaminate voxel stats."""
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 1.0, (1000, 3)).astype(np.float32)
+    junk = np.full((200, 3), 0.123, np.float32)  # would form a fake voxel
+    padded = jnp.asarray(np.concatenate([pts, junk]))
+    mask = jnp.asarray(np.concatenate([np.ones(1000, bool),
+                                       np.zeros(200, bool)]))
+    g_mask = build_ndt_grid(padded, 0.25, mask)
+    g_ref = build_ndt_grid(jnp.asarray(pts), 0.25)
+    assert int(g_mask.valid.sum()) == int(g_ref.valid.sum())
+    # same voxel means for the real points
+    mu_m = np.asarray(g_mask.mu)[np.asarray(g_mask.valid)]
+    mu_r = np.asarray(g_ref.mu)[np.asarray(g_ref.valid)]
+    np.testing.assert_allclose(np.sort(mu_m, axis=0),
+                               np.sort(mu_r, axis=0), atol=1e-5)
