@@ -82,9 +82,12 @@ def _skew_cols(x):
     ], axis=-2)  # [N, 3, 3] with [n, i, j] = ([x]×)_{ij}
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _ndt_loop(source, grid: NDTGrid, config: NDTConfig):
-    n = source.shape[0]
+@functools.partial(jax.jit, static_argnames=("config", "axis_name"))
+def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
+              source_mask=None, axis_name=None):
+    def _psum(v):
+        return lax.psum(v, axis_name) if axis_name is not None else v
+
     d1, d2 = gauss_d1_d2(config.outlier_ratio, config.voxel_size)
     d1 = jnp.float32(abs(d1))  # d1 < 0 in the score convention; weight uses |d1|
     d2 = jnp.float32(d2)
@@ -115,6 +118,8 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig):
         # dynamic shapes, just K× the searchsorted+gather)
         for off in offsets:
             mu, sinv, hit = ndt_lookup(x, grid, cell_offset=off)
+            if source_mask is not None:
+                hit = hit & source_mask
             r = x - mu
             sr = jnp.einsum("nij,nj->ni", sinv, r, precision=prec)  # S r
             q = jnp.sum(r * sr, axis=1)  # Mahalanobis² (0 for misses)
@@ -139,6 +144,13 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig):
             err_num = err_num + jnp.sum(jnp.where(hit, q, 0.0))
             err_den = err_den + jnp.sum(hit.astype(jnp.float32))
 
+        # the 6x6 H / 6-vector g / scalar counters are the ONLY per-
+        # iteration ICI traffic (same pattern as dist ICP's moments)
+        H = _psum(H)
+        g = _psum(g)
+        err_num = _psum(err_num)
+        err_den = _psum(err_den)
+
         floor = config.damping + 1e-7 * (jnp.trace(H) / 6.0) + 1e-30
         Hd = H + floor * jnp.eye(6, dtype=H.dtype)
         chol, lower = jax.scipy.linalg.cho_factor(Hd)
@@ -151,7 +163,11 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig):
 
         err = err_num / jnp.maximum(err_den, 1.0)
         err_hist = err_hist.at[it].set(err)
-        frac = jnp.mean(any_hit.astype(jnp.float32))
+        n_valid = (jnp.sum(source_mask.astype(jnp.float32))
+                   if source_mask is not None
+                   else jnp.float32(x.shape[0]))
+        frac = (_psum(jnp.sum(any_hit.astype(jnp.float32)))
+                / jnp.maximum(_psum(n_valid), 1.0))
         return (R_new, t_new, it + 1, err_hist,
                 jnp.linalg.norm(delta), frac)
 

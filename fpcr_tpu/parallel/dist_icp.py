@@ -157,3 +157,63 @@ def distributed_icp(
     result = jax.jit(fn)(source_p, snorm_in, source_mask,
                          target.astype(jnp.float32), tnorm_in, tmask_in)
     return result._replace(points=result.points[:n])
+
+
+def distributed_ndt(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    config=None,
+    mesh: Optional[Mesh] = None,
+    target_mask: Optional[jnp.ndarray] = None,
+):
+    """NDT registration with the source sharded over the mesh.
+
+    Same decomposition as ``distributed_icp``: the voxel Gaussian grid is
+    built once on the replicated target (every shard needs the whole
+    field), source points are sharded along ``points``, and the per-
+    iteration 6x6 H / 6-vector g / scalar counters are psum'd over ICI —
+    the grid itself never moves after the one-time build. Returns a
+    replicated ``NDTResult`` (``points`` unpadded).
+    """
+    from ..core.transforms import RigidTransform
+    from ..models.ndt import NDTConfig, NDTResult, _ndt_loop, run_ndt
+    from ..ops.ndt import build_ndt_grid
+
+    if mesh is None:
+        mesh = make_mesh()
+    config = config or NDTConfig()
+    if config.voxel_size is None:
+        from ..ops.grid import suggest_cell_size
+        import dataclasses as _dc
+
+        config = _dc.replace(
+            config, voxel_size=float(suggest_cell_size(target, scale=6.0)))
+    shards = mesh.devices.size
+    n = source.shape[0]
+    source_p, source_mask = _pad_shardable(source.astype(jnp.float32), shards)
+    grid = build_ndt_grid(target, config.voxel_size, target_mask,
+                          min_points=config.min_points,
+                          eig_ratio=config.eig_ratio)
+
+    def shard_fn(src, smask, g):
+        R, t, it, errs, conv, frac = _ndt_loop(
+            src, g, config, source_mask=smask, axis_name=AXIS)
+        tf = RigidTransform(rotation=R, translation=t)
+        return NDTResult(transform=tf, errors=errs, num_iterations=it,
+                         converged=conv, points=tf.apply(src),
+                         matched_fraction=frac)
+
+    in_specs = (P(AXIS, None), P(AXIS), P())
+    out_specs = NDTResult(
+        transform=RigidTransform(rotation=P(), translation=P()),
+        errors=P(), num_iterations=P(), converged=P(),
+        points=P(AXIS, None), matched_fraction=P(),
+    )
+    try:
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - older shard_map signature
+        fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+    result = jax.jit(fn)(source_p, source_mask, grid)
+    return result._replace(points=result.points[:n])

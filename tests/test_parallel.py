@@ -106,6 +106,27 @@ def test_distributed_observability_replicated(mesh8):
     assert np.isfinite(np.asarray(dist.delta_t)[:ni]).all()
 
 
+def test_distributed_ndt_matches_single_device(mesh8):
+    """NDT's H/g/counter psums ride the same mesh axis as ICP's moments."""
+    from fpcr_tpu.models.ndt import NDTConfig, run_ndt
+    from fpcr_tpu.parallel.dist_icp import distributed_ndt
+
+    scene = f.synthetic_scene(width=48)
+    gt = f.gt_transform((0.02, -0.015, 0.01), (0.03, -0.02, 0.015))
+    tgt = gt.apply(scene.source)
+    cfg = NDTConfig(voxel_size=0.4, max_iterations=50)
+    single = run_ndt(scene.source, tgt, cfg)
+    dist = distributed_ndt(scene.source, tgt, cfg, mesh=mesh8)
+    np.testing.assert_allclose(np.asarray(dist.transform.rotation),
+                               np.asarray(single.transform.rotation),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dist.transform.translation),
+                               np.asarray(single.transform.translation),
+                               atol=1e-6)
+    assert float(dist.matched_fraction) > 0.9
+    assert float(f.transform_rmse(dist.transform, gt, scene.source)) < 5e-3
+
+
 @pytest.mark.slow
 def test_multihost_two_process_dryrun():
     """Real multi-controller validation: 2 OS processes x 4 virtual CPU
