@@ -232,6 +232,7 @@ def register_ndt(
     ndt_config: Optional[NDTConfig] = None,
     *,
     coarse_scale: float = 3.0,
+    ndt_points: int = 16384,
 ):
     """NDT initialization + ICP refinement (the wide-basin pipeline).
 
@@ -242,6 +243,12 @@ def register_ndt(
     returned ``ICPResult.transform`` is the COMPOSED source→target
     estimate, so downstream code (CLI, tests) treats it exactly like a
     plain ``run_icp`` result.
+
+    Clouds larger than ``ndt_points`` are strided down for the NDT init
+    stages only (the pose is what NDT produces — voxel Gaussians don't
+    need full density, and the per-point voxel lookup is the one
+    gather-bound step in the framework; BENCH_NOTES §NDT). The ICP
+    refinement always sees the full clouds.
     """
     import dataclasses as _dc
 
@@ -255,9 +262,14 @@ def register_ndt(
         ndt_config = _dc.replace(
             ndt_config, voxel_size=float(suggest_cell_size(target, scale=6.0)))
 
+    src_i = source
+    if ndt_points and source.shape[0] > ndt_points:
+        stride = -(-source.shape[0] // ndt_points)
+        src_i = source[::stride]
+
     coarse = _dc.replace(ndt_config,
                          voxel_size=coarse_scale * ndt_config.voxel_size)
-    res_c = run_ndt(source, target, coarse)
+    res_c = run_ndt(src_i, target, coarse)
     res_f = run_ndt(res_c.points, target, ndt_config)
     init = res_f.transform.compose(res_c.transform)
 

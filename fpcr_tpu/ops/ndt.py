@@ -55,6 +55,13 @@ class NDTGrid(NamedTuple):
     valid: jnp.ndarray      # [N] bool — voxel exists and has >= min_points
     lo: jnp.ndarray         # [3] grid origin (min corner)
     voxel_size: jnp.ndarray  # scalar f32
+    # fused per-voxel row for single-gather lookup (TPU: each HBM row
+    # gather is expensive, so one [N, 16] take replaces four separate
+    # takes — measured 4x faster lookups at 16k):
+    # lanes [mu(3) | sinv upper-triangle(6) | valid(1) | key_hi(1) |
+    #        key_lo(1) | pad(4)] — the 30-bit key is split 15/15 so both
+    # halves are exact in f32 (< 2^24)
+    table: jnp.ndarray      # [N, 16] f32
 
 
 def _cells(points: jnp.ndarray, lo: jnp.ndarray, h) -> jnp.ndarray:
@@ -138,8 +145,18 @@ def build_ndt_grid(
     sinv = jnp.where(valid[:, None, None], sinv,
                      jnp.zeros((3, 3), jnp.float32))
 
+    table = jnp.concatenate([
+        mu,                                             # 0:3
+        sinv[:, 0, 0:1], sinv[:, 0, 1:2], sinv[:, 0, 2:3],   # 3:6
+        sinv[:, 1, 1:2], sinv[:, 1, 2:3], sinv[:, 2, 2:3],   # 6:9
+        valid[:, None].astype(jnp.float32),             # 9
+        (seg_keys >> 15).astype(jnp.float32)[:, None],  # 10 key_hi
+        (seg_keys & 0x7FFF).astype(jnp.float32)[:, None],  # 11 key_lo
+        jnp.zeros((n, 4), jnp.float32),                 # 12:16 pad
+    ], axis=1)
+
     return NDTGrid(keys=seg_keys, mu=mu, sinv=sinv, valid=valid,
-                   lo=lo, voxel_size=h)
+                   lo=lo, voxel_size=h, table=table)
 
 
 def ndt_lookup(
@@ -161,11 +178,26 @@ def ndt_lookup(
         c = jnp.clip(c + jnp.asarray(cell_offset, jnp.int32)[None, :],
                      0, (1 << _AXIS_BITS) - 1)
     k = _pack(c)
-    pos = jnp.searchsorted(grid.keys, k)
+    # TPU: the default binary-search lowering does ~log2(N) sequential
+    # row-gathers (measured 40 ms at 262k); the sort-based method is one
+    # XLA sort (~8 ms). CPU (tests) keeps the cheaper scan.
+    method = "sort" if jax.default_backend() == "tpu" else "scan"
+    pos = jnp.searchsorted(grid.keys, k, method=method)
     pos = jnp.clip(pos, 0, grid.keys.shape[0] - 1)
-    hit = (jnp.take(grid.keys, pos) == k) & jnp.take(grid.valid, pos)
-    mu = jnp.take(grid.mu, pos, axis=0)
-    sinv = jnp.take(grid.sinv, pos, axis=0)
+    # ONE fused row gather (see NDTGrid.table): separate takes of
+    # keys/valid/mu/sinv cost ~4x more on TPU (row-gather bound)
+    row = jnp.take(grid.table, pos, axis=0)  # [N, 16]
+    key_match = ((row[:, 10] == (k >> 15).astype(jnp.float32))
+                 & (row[:, 11] == (k & 0x7FFF).astype(jnp.float32)))
+    hit = key_match & (row[:, 9] > 0.5)
+    mu = row[:, 0:3]
+    s00, s01, s02 = row[:, 3], row[:, 4], row[:, 5]
+    s11, s12, s22 = row[:, 6], row[:, 7], row[:, 8]
+    sinv = jnp.stack([
+        jnp.stack([s00, s01, s02], axis=-1),
+        jnp.stack([s01, s11, s12], axis=-1),
+        jnp.stack([s02, s12, s22], axis=-1),
+    ], axis=-2)
     sinv = jnp.where(hit[:, None, None], sinv, 0.0)
     return mu, sinv, hit
 
