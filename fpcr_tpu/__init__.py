@@ -45,6 +45,11 @@ from .models.anderson import run_aa_icp
 from .models.sgd_icp import run_sgd_icp
 from .models.scaled_icp import ScaledICPResult, run_scaled_icp
 from .models.odometry import OdometryResult, register_sequence
+from .models.pose_graph import (
+    PoseGraphResult,
+    close_loops,
+    optimize_pose_graph,
+)
 from .models.global_reg import (
     GlobalRegResult,
     global_registration,
@@ -74,6 +79,9 @@ __all__ = [
     "run_sgd_icp",
     "run_ndt",
     "register_ndt",
+    "optimize_pose_graph",
+    "close_loops",
+    "PoseGraphResult",
     "NDTConfig",
     "NDTResult",
     "NDTGrid",

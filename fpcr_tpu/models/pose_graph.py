@@ -1,0 +1,268 @@
+"""Pose-graph optimization: SE(3) Gauss-Newton over a trajectory, one jit.
+
+Completes the odometry family (``models/odometry.py``): open-loop
+odometry accumulates drift; loop-closure edges (re-registrations of
+non-consecutive frames, e.g. when the sensor revisits a place) constrain
+the graph, and this module redistributes the error over the whole
+trajectory.
+
+Problem: poses ``X_t`` ∈ SE(3) (frame t → frame 0), edges
+``(i, j, Z_ij)`` with ``Z_ij`` the measured j→i relative transform
+(exactly what pairwise ICP returns). Minimize
+
+    Σ_e  w_e · ‖ log( Z_e⁻¹ · X_i⁻¹ · X_j ) ‖²
+
+by Gauss-Newton with right-multiplicative updates ``X ← X·exp(δ)``:
+with ``A = X_i⁻¹X_j`` and ``r = log(Z⁻¹A)``, first order gives
+``J_j = Jr⁻¹(r) ≈ I + ½·ad(r)`` and ``J_i = −J_j·Ad(A⁻¹)``.
+
+TPU-first structure:
+
+* all E edge residuals/Jacobians are built **batched** (vmapped SE(3)
+  log/adjoint — closed forms, no host loops);
+* the 6T×6T normal matrix is assembled **dense** with four scatter-adds
+  of [E,6,6] blocks — for trajectory-scale T (tens to a few thousand
+  frames) a dense on-device Cholesky beats any sparse structure TPUs
+  can't exploit (6T = 6,000 → one 36 MB factorization, microseconds of
+  MXU time);
+* gauge freedom is fixed by a strong prior on pose 0, not by matrix
+  surgery — shapes stay static;
+* the whole GN iteration loop is one ``lax.fori_loop`` under jit.
+
+The CUDA reference has no multi-frame machinery at all (SURVEY §0: one
+pair per executable); this is a beyond-reference subsystem.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+# --------------------------------------------------------------- SE(3) core
+def _skew(v):
+    return jnp.array([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ])
+
+
+def _so3_exp_V(w):
+    """(exp([w]×), V(w)) — rotation and the SE(3) translation mixer.
+
+    Taylor-safe coefficients (same scheme as ``core.transforms.rotation_exp``).
+    """
+    th2 = jnp.sum(w * w)
+    th = jnp.sqrt(th2)
+    small = th < 1e-6
+    a = jnp.where(small, 1.0 - th2 / 6.0,
+                  jnp.sin(th) / jnp.where(th > 0, th, 1.0))
+    b = jnp.where(small, 0.5 - th2 / 24.0,
+                  (1.0 - jnp.cos(th)) / jnp.where(th2 > 0, th2, 1.0))
+    c = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
+                  (1.0 - a) / jnp.where(th2 > 0, th2, 1.0))
+    K = _skew(w)
+    K2 = jnp.matmul(K, K, precision=_PREC)
+    R = jnp.eye(3) + a * K + b * K2
+    V = jnp.eye(3) + b * K + c * K2
+    return R, V
+
+
+def se3_exp(xi):
+    """``xi = [ρ, w]`` (translation part first, matching J = [I | −K]
+    conventions elsewhere in this repo) → 4×4 homogeneous matrix."""
+    rho, w = xi[0:3], xi[3:6]
+    R, V = _so3_exp_V(w)
+    t = jnp.matmul(V, rho, precision=_PREC)
+    top = jnp.concatenate([R, t[:, None]], axis=1)
+    return jnp.concatenate(
+        [top, jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0)
+
+
+def _so3_log(R):
+    cos_t = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = jnp.arccos(cos_t)
+    v = 0.5 * jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                         R[1, 0] - R[0, 1]])
+    s = jnp.where(th < 1e-6, 1.0 + th * th / 6.0,
+                  th / jnp.where(jnp.sin(th) != 0.0, jnp.sin(th), 1.0))
+    return v * s
+
+
+def se3_log(M):
+    """4×4 homogeneous → ``xi = [ρ, w]`` with ``se3_exp(se3_log(M)) = M``."""
+    R = M[:3, :3]
+    t = M[:3, 3]
+    w = _so3_log(R)
+    _, V = _so3_exp_V(w)
+    rho = jnp.linalg.solve(V, t)
+    return jnp.concatenate([rho, w])
+
+
+def se3_inv(M):
+    R = M[:3, :3]
+    t = M[:3, 3]
+    Rt = R.T
+    top = jnp.concatenate(
+        [Rt, -jnp.matmul(Rt, t, precision=_PREC)[:, None]], axis=1)
+    return jnp.concatenate(
+        [top, jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0)
+
+
+def se3_adjoint(M):
+    """Ad(M) [6,6] for the [ρ, w] ordering: δ' = Ad(M) δ with
+    ``M·exp(δ)·M⁻¹ = exp(δ')``."""
+    R = M[:3, :3]
+    t = M[:3, 3]
+    tx_R = jnp.matmul(_skew(t), R, precision=_PREC)
+    top = jnp.concatenate([R, tx_R], axis=1)
+    bot = jnp.concatenate([jnp.zeros((3, 3)), R], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _ad_small(r):
+    """ad(r) [6,6] (algebra adjoint) for [ρ, w]: [[w×, ρ×], [0, w×]]."""
+    rho, w = r[0:3], r[3:6]
+    top = jnp.concatenate([_skew(w), _skew(rho)], axis=1)
+    bot = jnp.concatenate([jnp.zeros((3, 3)), _skew(w)], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+# --------------------------------------------------------------- the solver
+class PoseGraphResult(NamedTuple):
+    poses: jnp.ndarray           # [T, 4, 4] optimized frame→frame-0 poses
+    residual_rms: jnp.ndarray    # [iters] edge-residual RMS per GN iteration
+    num_iterations: jnp.ndarray  # int32
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def optimize_pose_graph(
+    poses: jnp.ndarray,
+    edges_i: jnp.ndarray,
+    edges_j: jnp.ndarray,
+    measurements: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    *,
+    iterations: int = 10,
+    damping: float = 1e-6,
+    anchor_weight: float = 1e6,
+) -> PoseGraphResult:
+    """Gauss-Newton pose-graph optimization.
+
+    Args:
+      poses: ``[T, 4, 4]`` initial poses (e.g. ``OdometryResult.poses``).
+      edges_i / edges_j: ``[E]`` int32 endpoint indices.
+      measurements: ``[E, 4, 4]`` measured ``Z_ij`` = (frame j → frame i)
+        relative transforms — the composition convention of
+        ``models/odometry.py`` (``X_i · Z_ij ≈ X_j``).
+      weights: ``[E]`` per-edge scalar information weights (default 1);
+        loop closures can be up/down-weighted here.
+      iterations: fixed GN iteration count (static — one jit).
+      anchor_weight: prior stiffness pinning pose 0 (gauge fix).
+    """
+    T = poses.shape[0]
+    E = edges_i.shape[0]
+    if weights is None:
+        weights = jnp.ones((E,), jnp.float32)
+    poses = poses.astype(jnp.float32)
+    meas_inv = jax.vmap(se3_inv)(measurements.astype(jnp.float32))
+
+    def gn_step(it, carry):
+        X, rms_hist = carry
+
+        def edge_terms(i, j, z_inv, w):
+            A = jnp.matmul(se3_inv(X[i]), X[j], precision=_PREC)
+            r = se3_log(jnp.matmul(z_inv, A, precision=_PREC))
+            Jj = jnp.eye(6) + 0.5 * _ad_small(r)  # Jr⁻¹(r) to first order
+            Ji = -jnp.matmul(Jj, se3_adjoint(se3_inv(A)), precision=_PREC)
+            return r, Ji * jnp.sqrt(w), Jj * jnp.sqrt(w), r * jnp.sqrt(w)
+
+        r_all, Ji_all, Jj_all, rw_all = jax.vmap(edge_terms)(
+            edges_i, edges_j, meas_inv, weights)
+
+        # dense [T,6,T,6] normal matrix via four block scatter-adds
+        H = jnp.zeros((T, 6, T, 6), jnp.float32)
+        g = jnp.zeros((T, 6), jnp.float32)
+        JiTJi = jnp.einsum("eab,eac->ebc", Ji_all, Ji_all, precision=_PREC)
+        JiTJj = jnp.einsum("eab,eac->ebc", Ji_all, Jj_all, precision=_PREC)
+        JjTJj = jnp.einsum("eab,eac->ebc", Jj_all, Jj_all, precision=_PREC)
+        H = H.at[edges_i, :, edges_i, :].add(JiTJi)
+        H = H.at[edges_i, :, edges_j, :].add(JiTJj)
+        H = H.at[edges_j, :, edges_i, :].add(
+            jnp.swapaxes(JiTJj, -1, -2))
+        H = H.at[edges_j, :, edges_j, :].add(JjTJj)
+        g = g.at[edges_i].add(
+            jnp.einsum("eab,ea->eb", Ji_all, rw_all, precision=_PREC))
+        g = g.at[edges_j].add(
+            jnp.einsum("eab,ea->eb", Jj_all, rw_all, precision=_PREC))
+
+        # gauge prior on pose 0 + Levenberg floor
+        Hf = H.reshape(6 * T, 6 * T)
+        diag = jnp.concatenate([
+            jnp.full((6,), anchor_weight, jnp.float32),
+            jnp.full((6 * (T - 1),), damping, jnp.float32),
+        ])
+        Hf = Hf + jnp.diag(diag) + 1e-8 * jnp.eye(6 * T)
+        delta = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Hf), g.reshape(6 * T))
+        delta = delta.reshape(T, 6)
+
+        X_new = jax.vmap(
+            lambda Xi, d: jnp.matmul(Xi, se3_exp(d), precision=_PREC))(
+                X, delta)
+        rms = jnp.sqrt(jnp.mean(jnp.sum(r_all * r_all, axis=1)))
+        return X_new, rms_hist.at[it].set(rms)
+
+    X, rms_hist = lax.fori_loop(
+        0, iterations, gn_step,
+        (poses, jnp.full((iterations,), jnp.nan, jnp.float32)))
+    return PoseGraphResult(poses=X, residual_rms=rms_hist,
+                           num_iterations=jnp.int32(iterations))
+
+
+def close_loops(
+    odometry,
+    loop_edges_i: jnp.ndarray,
+    loop_edges_j: jnp.ndarray,
+    loop_measurements: jnp.ndarray,
+    loop_weights: Optional[jnp.ndarray] = None,
+    *,
+    iterations: int = 10,
+    odometry_weight: float = 1.0,
+) -> PoseGraphResult:
+    """Fuse an ``OdometryResult`` with loop-closure edges.
+
+    Builds the graph from the odometry's own T−1 consecutive relative
+    measurements (weight ``odometry_weight``) plus the given closures,
+    then optimizes. ``loop_measurements[e]`` maps frame ``j_e`` into
+    frame ``i_e`` — exactly ``ICPResult.transform`` of registering
+    ``frames[j]`` onto ``frames[i]``.
+    """
+    poses = odometry.poses
+    T = poses.shape[0]
+    rel = odometry.relative.transform  # frame t+1 -> frame t, batched [T-1]
+    top = jnp.concatenate(
+        [rel.rotation, rel.translation[:, :, None]], axis=2)  # [T-1, 3, 4]
+    bottom = jnp.broadcast_to(
+        jnp.array([[[0.0, 0.0, 0.0, 1.0]]]), (T - 1, 1, 4))
+    odo_meas = jnp.concatenate([top, bottom], axis=1)  # [T-1, 4, 4]
+
+    ei = jnp.concatenate([jnp.arange(T - 1, dtype=jnp.int32),
+                          jnp.asarray(loop_edges_i, jnp.int32)])
+    ej = jnp.concatenate([jnp.arange(1, T, dtype=jnp.int32),
+                          jnp.asarray(loop_edges_j, jnp.int32)])
+    meas = jnp.concatenate([odo_meas, loop_measurements.astype(jnp.float32)])
+    E_loop = loop_measurements.shape[0]
+    lw = (jnp.ones((E_loop,), jnp.float32) if loop_weights is None
+          else loop_weights.astype(jnp.float32))
+    w = jnp.concatenate([
+        jnp.full((T - 1,), odometry_weight, jnp.float32), lw])
+    return optimize_pose_graph(poses, ei, ej, meas, w,
+                               iterations=iterations)
