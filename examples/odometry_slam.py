@@ -1,0 +1,91 @@
+"""Example 5 — odometry + loop closure: a small SLAM back-end.
+
+A sensor sweeps a scene in T frames; ``register_sequence`` estimates the
+open-loop trajectory (all T−1 pairwise ICPs in one vmapped program), the
+last frame is re-registered directly onto the first (a loop closure), and
+``close_loops`` redistributes the accumulated drift over the whole
+trajectory with an SE(3) pose-graph Gauss-Newton solve — all on device.
+
+Also shows NDT (voxel Gaussian field) as the wide-basin alternative when
+a frame's displacement is too large for plain ICP.
+
+Run:  python examples/odometry_slam.py [--cpu]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+import fpcr_tpu as f
+
+rng = np.random.default_rng(0)
+world = np.asarray(f.synthetic_scene(width=64).source)  # 4,096 pts, x∈[-2,2]
+T = 12
+N = 1024
+
+# ground-truth trajectory: the sensor sweeps +x and returns to the start
+# (which is what makes a 0 ↔ T-1 loop closure possible)
+xs = np.concatenate([np.linspace(0, 1.2, T // 2),
+                     np.linspace(1.2, 0, T - T // 2)])
+poses_gt = []
+for t in range(T):
+    M = np.eye(4, dtype=np.float32)
+    M[0, 3] = xs[t]
+    poses_gt.append(M)
+poses_gt = np.stack(poses_gt)
+
+# PARTIAL-OVERLAP frames: each frame sees only the N points nearest its
+# viewpoint, with independent sensor noise. Consecutive pairs share ~80%
+# of their points, so each pairwise ICP carries an independent pose error
+# and the T-step composition random-walks into drift — while the direct
+# 0 ↔ T-1 closure carries only ONE pairwise error. (With full-overlap
+# frames the per-pair errors telescope away and there is nothing to fix.)
+frames = []
+for t in range(T):
+    d = np.abs(world[:, 0] - xs[t])
+    crop = world[np.argsort(d)[:N]]
+    local = crop - poses_gt[t][:3, 3]  # pose is a pure translation here
+    local = local + rng.normal(scale=4e-3, size=local.shape)
+    frames.append(local.astype(np.float32))
+frames = jnp.stack(frames)
+
+# 1) open-loop odometry: T-1 pairwise ICPs in ONE vmapped program.
+# auto_trim masks the non-overlapping tails out of the solve (frames
+# share only ~80% of their points).
+odo = f.register_sequence(frames, f.ICPConfig(max_iterations=25,
+                                              auto_trim=9.0))
+drift = float(np.abs(np.asarray(odo.poses[T - 1]) - poses_gt[T - 1]).max())
+print(f"open-loop odometry end-pose drift: {drift:.2e}")
+
+# 2) loop closure: last frame registered directly onto frame 0
+lc = f.run_icp(frames[T - 1], frames[0], f.ICPConfig(max_iterations=40,
+                                                     auto_trim=9.0))
+Z = np.eye(4, dtype=np.float32)
+Z[:3, :3] = np.asarray(lc.transform.rotation)
+Z[:3, 3] = np.asarray(lc.transform.translation)
+
+# 3) pose-graph optimization redistributes the drift
+res = f.close_loops(odo, jnp.asarray([0], jnp.int32),
+                    jnp.asarray([T - 1], jnp.int32),
+                    jnp.asarray(Z)[None], jnp.asarray([20.0]),
+                    iterations=6)
+err = float(np.abs(np.asarray(res.poses[T - 1]) - poses_gt[T - 1]).max())
+print(f"after loop closure + pose-graph GN:  {err:.2e} "
+      f"(edge residual RMS {float(res.residual_rms[-1]):.2e})")
+
+# 4) NDT: the wide-basin option for a big inter-frame jump
+cloud = jnp.asarray(world[:2048])
+big = f.gt_transform((0.3, -0.25, 0.2), (0.25, -0.2, 0.15))
+moved = big.apply(cloud)
+ndt = f.register_ndt(cloud, moved, f.ICPConfig(max_iterations=40))
+print(f"NDT init + ICP refine on a 0.25-rad jump: GT error "
+      f"{float(f.transform_rmse(ndt.transform, big, cloud)):.2e}")
