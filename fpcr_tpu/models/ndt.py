@@ -63,6 +63,20 @@ class NDTConfig:
             raise ValueError(f"unknown neighborhood {self.neighborhood!r}")
 
 
+def resolve_voxel_size(config: NDTConfig, target: jnp.ndarray) -> NDTConfig:
+    """Fill ``voxel_size=None`` from the target's median point spacing
+    (``suggest_cell_size`` × 6 — aims for ≥ ``min_points`` per occupied
+    surface voxel). The ONE place the auto heuristic lives — every entry
+    point (``run_ndt``, ``register_ndt``, ``distributed_ndt``) resolves
+    through here."""
+    if config.voxel_size is not None:
+        return config
+    from ..ops.grid import suggest_cell_size
+
+    return dataclasses.replace(
+        config, voxel_size=float(suggest_cell_size(target, scale=6.0)))
+
+
 class NDTResult(NamedTuple):
     transform: RigidTransform
     errors: jnp.ndarray          # [max_iterations] mean Mahalanobis, NaN after stop
@@ -184,7 +198,9 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
         jnp.float32(0.0),
     )
     R, t, it, err_hist, delta_norm, frac = lax.while_loop(cond, body, state0)
-    converged = delta_norm <= config.tolerance
+    # zero hits also yields delta = 0 (H = floor·I, g = 0) — that is a
+    # registration FAILURE (disjoint clouds / empty grid), not convergence
+    converged = (delta_norm <= config.tolerance) & (frac > 0.0)
     return R, t, it, err_hist, converged, frac
 
 
@@ -209,11 +225,7 @@ def run_ndt(
             config = dataclasses.replace(
                 config, voxel_size=float(grid.voxel_size))
         else:
-            from ..ops.grid import suggest_cell_size
-
-            config = dataclasses.replace(
-                config,
-                voxel_size=float(suggest_cell_size(target, scale=6.0)))
+            config = resolve_voxel_size(config, target)
     if grid is None:
         grid = build_ndt_grid(target, config.voxel_size, target_mask,
                               min_points=config.min_points,
@@ -256,11 +268,7 @@ def register_ndt(
 
     icp_config = icp_config or ICPConfig()
     ndt_config = ndt_config or NDTConfig()
-    if ndt_config.voxel_size is None:
-        from ..ops.grid import suggest_cell_size
-
-        ndt_config = _dc.replace(
-            ndt_config, voxel_size=float(suggest_cell_size(target, scale=6.0)))
+    ndt_config = resolve_voxel_size(ndt_config, target)
 
     src_i = source
     if ndt_points and source.shape[0] > ndt_points:

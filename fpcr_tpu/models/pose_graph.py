@@ -55,10 +55,11 @@ def _skew(v):
 
 
 def _so3_exp_V(w):
-    """(exp([w]×), V(w)) — rotation and the SE(3) translation mixer.
+    """(exp([w]×), V(w)) — rotation (via ``core.transforms.rotation_exp``,
+    the single SO(3)-exp implementation in this repo) and the SE(3)
+    translation mixer ``V = I + b·K + c·K²`` with Taylor-safe b, c."""
+    from ..core.transforms import rotation_exp
 
-    Taylor-safe coefficients (same scheme as ``core.transforms.rotation_exp``).
-    """
     th2 = jnp.sum(w * w)
     th = jnp.sqrt(th2)
     small = th < 1e-6
@@ -70,9 +71,8 @@ def _so3_exp_V(w):
                   (1.0 - a) / jnp.where(th2 > 0, th2, 1.0))
     K = _skew(w)
     K2 = jnp.matmul(K, K, precision=_PREC)
-    R = jnp.eye(3) + a * K + b * K2
     V = jnp.eye(3) + b * K + c * K2
-    return R, V
+    return rotation_exp(w), V
 
 
 def se3_exp(xi):
@@ -87,13 +87,41 @@ def se3_exp(xi):
 
 
 def _so3_log(R):
+    """SO(3) log valid over the whole group, including θ → π.
+
+    The skew-part formula ``v·θ/sin(θ)`` degenerates near π (v → 0 while
+    the scale diverges) — and ~180° relative rotations are exactly the
+    loop-closure geometry (sensor returns facing the other way). Near π
+    the axis is recovered from the symmetric part instead:
+    ``aaᵀ = (S − cosθ·I)/(1−cosθ)`` with ``S = (R+Rᵀ)/2`` — read off the
+    strongest row — and the sign is disambiguated by the skew part.
+    Both branches are computed and selected (branch-free under jit).
+    """
     cos_t = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
     th = jnp.arccos(cos_t)
     v = 0.5 * jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
-                         R[1, 0] - R[0, 1]])
+                         R[1, 0] - R[0, 1]])  # = sin(θ)·axis
+
+    # small/moderate-angle branch
     s = jnp.where(th < 1e-6, 1.0 + th * th / 6.0,
                   th / jnp.where(jnp.sin(th) != 0.0, jnp.sin(th), 1.0))
-    return v * s
+    w_skew = v * s
+
+    # near-π branch: axis from the symmetric part
+    one_minus = jnp.maximum(1.0 - cos_t, 1e-12)
+    S = 0.5 * (R + R.T)
+    aaT = (S - cos_t * jnp.eye(3)) / one_minus
+    diag = jnp.clip(jnp.diagonal(aaT), 0.0, None)
+    k = jnp.argmax(diag)
+    ak = jnp.sqrt(jnp.maximum(diag[k], 1e-12))
+    a = aaT[k] / ak  # k-th row of aaᵀ / a_k = the full axis
+    a = a / jnp.maximum(jnp.linalg.norm(a), 1e-12)
+    # sign: match the (small but nonzero) skew part; at exactly π both
+    # signs are equivalent (w and −w give the same R)
+    a = jnp.where(jnp.dot(a, v) < 0.0, -a, a)
+    w_sym = a * th
+
+    return jnp.where(th > 2.9, w_sym, w_skew)
 
 
 def se3_log(M):

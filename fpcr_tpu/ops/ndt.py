@@ -64,10 +64,18 @@ class NDTGrid(NamedTuple):
     table: jnp.ndarray      # [N, 16] f32
 
 
-def _cells(points: jnp.ndarray, lo: jnp.ndarray, h) -> jnp.ndarray:
-    """Integer voxel coordinates per point (clipped to the 10-bit range)."""
-    return jnp.clip(jnp.floor((points - lo) / h).astype(jnp.int32),
-                    0, (1 << _AXIS_BITS) - 1)
+def _cells_raw(points: jnp.ndarray, lo: jnp.ndarray, h) -> jnp.ndarray:
+    """Integer voxel coordinates per point, UNclipped (may be out of the
+    10-bit range for clouds spanning >1024 voxels per axis)."""
+    return jnp.floor((points - lo) / h).astype(jnp.int32)
+
+
+def _in_range(cells: jnp.ndarray) -> jnp.ndarray:
+    """[N] bool — all three coordinates inside the addressable grid.
+    Out-of-range cells must NOT be clipped: clipping aliases distant
+    points into boundary mega-voxels whose flat Gaussians still carry
+    real weight in the solve. They are treated as misses instead."""
+    return jnp.all((cells >= 0) & (cells < (1 << _AXIS_BITS)), axis=-1)
 
 
 def _pack(cells: jnp.ndarray) -> jnp.ndarray:
@@ -77,8 +85,11 @@ def _pack(cells: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cell_keys(points: jnp.ndarray, lo: jnp.ndarray, h) -> jnp.ndarray:
-    """Packed 30-bit voxel key per point (10 bits/axis, clipped)."""
-    return _pack(_cells(points, lo, h))
+    """Packed 30-bit voxel key per point; out-of-range points (cloud spans
+    >1024 voxels on some axis at this resolution) get the pad key, i.e.
+    they simply don't participate — no silent aliasing."""
+    c = _cells_raw(points, lo, h)
+    return jnp.where(_in_range(c), _pack(c), _KEY_PAD)
 
 
 @functools.partial(jax.jit, static_argnames=("min_points",))
@@ -173,11 +184,14 @@ def ndt_lookup(
     ``valid=False`` and zero ``sinv`` — they drop out of the Newton
     assembly through the weight, not through control flow.
     """
-    c = _cells(points.astype(jnp.float32), grid.lo, grid.voxel_size)
+    c = _cells_raw(points.astype(jnp.float32), grid.lo, grid.voxel_size)
     if cell_offset is not None:
-        c = jnp.clip(c + jnp.asarray(cell_offset, jnp.int32)[None, :],
-                     0, (1 << _AXIS_BITS) - 1)
-    k = _pack(c)
+        c = c + jnp.asarray(cell_offset, jnp.int32)[None, :]
+    # out-of-grid queries (including neighbor offsets stepping off the min/
+    # max faces) are MISSES — clipping would double-count boundary voxels
+    inb = _in_range(c)
+    k = jnp.where(inb, _pack(jnp.clip(c, 0, (1 << _AXIS_BITS) - 1)),
+                  jnp.int32(-1))  # -1 < every real key and != pad
     # TPU: the default binary-search lowering does ~log2(N) sequential
     # row-gathers (measured 40 ms at 262k); the sort-based method is one
     # XLA sort (~8 ms). CPU (tests) keeps the cheaper scan.
@@ -189,7 +203,7 @@ def ndt_lookup(
     row = jnp.take(grid.table, pos, axis=0)  # [N, 16]
     key_match = ((row[:, 10] == (k >> 15).astype(jnp.float32))
                  & (row[:, 11] == (k & 0x7FFF).astype(jnp.float32)))
-    hit = key_match & (row[:, 9] > 0.5)
+    hit = key_match & (row[:, 9] > 0.5) & inb
     mu = row[:, 0:3]
     s00, s01, s02 = row[:, 3], row[:, 4], row[:, 5]
     s11, s12, s22 = row[:, 6], row[:, 7], row[:, 8]

@@ -176,18 +176,13 @@ def distributed_ndt(
     replicated ``NDTResult`` (``points`` unpadded).
     """
     from ..core.transforms import RigidTransform
-    from ..models.ndt import NDTConfig, NDTResult, _ndt_loop, run_ndt
+    from ..models.ndt import (NDTConfig, NDTResult, _ndt_loop,
+                              resolve_voxel_size)
     from ..ops.ndt import build_ndt_grid
 
     if mesh is None:
         mesh = make_mesh()
-    config = config or NDTConfig()
-    if config.voxel_size is None:
-        from ..ops.grid import suggest_cell_size
-        import dataclasses as _dc
-
-        config = _dc.replace(
-            config, voxel_size=float(suggest_cell_size(target, scale=6.0)))
+    config = resolve_voxel_size(config or NDTConfig(), target)
     shards = mesh.devices.size
     n = source.shape[0]
     source_p, source_mask = _pad_shardable(source.astype(jnp.float32), shards)

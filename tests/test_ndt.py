@@ -138,3 +138,40 @@ def test_ndt_masked_target():
     mu_r = np.asarray(g_ref.mu)[np.asarray(g_ref.valid)]
     np.testing.assert_allclose(np.sort(mu_m, axis=0),
                                np.sort(mu_r, axis=0), atol=1e-5)
+
+
+def test_lookup_offset_off_grid_is_miss():
+    """Stepping a neighbor offset off the min face must MISS, not clip
+    back into the boundary voxel (review finding r2: double counting)."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0, 1.0, (3000, 3)).astype(np.float32)
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    corner = jnp.asarray([[0.01, 0.01, 0.01]])  # min-corner voxel
+    _, _, hit0 = ndt_lookup(corner, grid)
+    _, _, hit_m = ndt_lookup(corner, grid, cell_offset=jnp.asarray([-1, 0, 0]))
+    assert bool(hit0[0])
+    assert not bool(hit_m[0])
+
+
+def test_out_of_range_cloud_not_aliased():
+    """Points beyond the 10-bit grid range are dropped from the build and
+    miss on lookup — never aliased into boundary mega-voxels."""
+    rng = np.random.default_rng(8)
+    near = rng.uniform(0, 1.0, (2000, 3)).astype(np.float32)
+    far = near + np.float32(500.0)  # ~2000 cells away at h=0.25
+    both = jnp.asarray(np.concatenate([near, far]))
+    grid = build_ndt_grid(both, 0.25)
+    _, _, hit_far = ndt_lookup(jnp.asarray(far), grid)
+    assert not bool(hit_far.any())
+    _, _, hit_near = ndt_lookup(jnp.asarray(near), grid)
+    assert float(hit_near.mean()) > 0.9
+
+
+def test_disjoint_clouds_not_converged():
+    """Zero matched fraction => converged must be False (review finding)."""
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.uniform(0, 1, (1000, 3)).astype(np.float32))
+    b = a + 100.0
+    res = run_ndt(a, b, NDTConfig(voxel_size=0.25, max_iterations=10))
+    assert float(res.matched_fraction) == 0.0
+    assert not bool(res.converged)

@@ -134,3 +134,24 @@ def test_close_loops_with_real_odometry():
     # end pose must be at least as good and the graph consistent
     assert err_after <= err_before + 1e-6, (err_before, err_after)
     assert float(res.residual_rms[-1]) < 1e-2
+
+
+def test_se3_log_near_pi():
+    """Loop-closure geometry: ~180° relative rotations must roundtrip
+    (the naive skew-part log diverges there — review finding r2)."""
+    from fpcr_tpu.models.pose_graph import _so3_log
+    from fpcr_tpu.core.transforms import rotation_exp
+
+    rng = np.random.default_rng(9)
+    for th in (3.0, 3.14, np.pi - 1e-4, np.pi):
+        axis = rng.standard_normal(3)
+        axis /= np.linalg.norm(axis)
+        w = jnp.asarray((th * axis).astype(np.float32))
+        R = rotation_exp(w)
+        w2 = _so3_log(R)
+        R2 = rotation_exp(w2)
+        # log may return the equivalent -w at exactly pi; compare matrices.
+        # tolerance: f32 arccos loses ~sqrt(eps) angle precision near pi
+        # (1e-4-grade) — the failure mode being regressed here was 8.6
+        # absolute garbage from the skew-only formula
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=5e-4)
