@@ -56,6 +56,7 @@ from .models.global_reg import (
     register_global,
 )
 from .models.ndt import NDTConfig, NDTResult, register_ndt, run_ndt
+from .models.registry import METHODS, register
 from .ops.ndt import NDTGrid, build_ndt_grid, ndt_lookup
 from .ops.fpfh import fpfh_features
 from .ops.normals import estimate_normals, orient_normals
@@ -74,6 +75,8 @@ from .data.bunny import bunny_scene, load_bunny
 from .data.ouster import hall_scene, load_hall_scan
 
 __all__ = [
+    "register",
+    "METHODS",
     "register_batch",
     "run_aa_icp",
     "run_sgd_icp",

@@ -1,0 +1,89 @@
+"""One front door: ``fpcr_tpu.register(source, target, method=...)``.
+
+The reference exposes ~20 per-variant ``main()``s; this framework's
+variants are config-driven, and this module gives them a single uniform
+entry point for users who just want a registration:
+
+    register(src, tgt)                        # exact ICP
+    register(src, tgt, method="plane")        # point-to-plane
+    register(src, tgt, method="gicp")         # Generalized-ICP
+    register(src, tgt, method="ndt")          # NDT init + ICP refine
+    register(src, tgt, method="global")       # FPFH+RANSAC init + refine
+    register(src, tgt, method="coarse_to_fine")  # large-N pipeline
+    register(src, tgt, method="aa")           # Anderson-accelerated
+    register(src, tgt, method="sgd")          # stochastic mini-batch
+
+Every method returns an ``ICPResult``-shaped object whose ``transform``
+is the full composed source→target estimate. Extra keyword arguments are
+forwarded into ``ICPConfig`` (e.g. ``matcher="morton"``,
+``max_iterations=60``, ``robust_loss="huber"``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .icp import ICPConfig, run_icp
+
+METHODS = ("point", "plane", "symmetric", "gicp", "ndt", "global",
+           "coarse_to_fine", "aa", "sgd")
+
+_METRIC_METHODS = {"point", "plane", "symmetric", "gicp"}
+
+
+def register(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    method: str = "point",
+    config: Optional[ICPConfig] = None,
+    **config_kw,
+):
+    """Register ``source`` onto ``target``; see module docstring.
+
+    ``config`` (an :class:`ICPConfig`) and ``config_kw`` are mutually
+    exclusive ways to configure the underlying loop; metric-style methods
+    ("point"/"plane"/"symmetric"/"gicp") set ``metric`` themselves.
+    """
+    if method not in METHODS:
+        raise ValueError(f"unknown method {method!r}; one of {METHODS}")
+    if config is not None and config_kw:
+        raise ValueError("pass either config= or config keywords, not both")
+
+    if method in _METRIC_METHODS:
+        cfg = config or ICPConfig(metric=method, **config_kw)
+        if cfg.metric != method:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, metric=method)
+        return run_icp(source, target, cfg)
+
+    cfg = config or (ICPConfig(**config_kw) if config_kw else ICPConfig())
+    if method == "ndt":
+        from .ndt import register_ndt
+
+        return register_ndt(source, target, cfg)
+    if method == "global":
+        from .global_reg import register_global
+
+        return register_global(source, target, cfg)
+    if method == "coarse_to_fine":
+        import dataclasses
+
+        from .pipeline import icp_coarse_to_fine
+
+        c2f = icp_coarse_to_fine(
+            source, target,
+            coarse_config=dataclasses.replace(cfg, matcher="xla"),
+            fine_config=dataclasses.replace(cfg, matcher="morton"),
+        )
+        return c2f.fine._replace(transform=c2f.transform)
+    if method == "aa":
+        from .anderson import run_aa_icp
+
+        return run_aa_icp(source, target, cfg)
+    # method == "sgd"
+    from .sgd_icp import run_sgd_icp
+
+    return run_sgd_icp(source, target, cfg)
