@@ -57,6 +57,10 @@ from .models.global_reg import (
 )
 from .models.ndt import NDTConfig, NDTResult, register_ndt, run_ndt
 from .models.registry import METHODS, register
+from .models.uncertainty import (
+    information_from_covariance,
+    registration_covariance,
+)
 from .ops.ndt import NDTGrid, build_ndt_grid, ndt_lookup
 from .ops.fpfh import fpfh_features
 from .ops.normals import estimate_normals, orient_normals
@@ -85,6 +89,8 @@ __all__ = [
     "optimize_pose_graph",
     "close_loops",
     "PoseGraphResult",
+    "registration_covariance",
+    "information_from_covariance",
     "NDTConfig",
     "NDTResult",
     "NDTGrid",

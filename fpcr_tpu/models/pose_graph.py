@@ -190,8 +190,11 @@ def optimize_pose_graph(
       measurements: ``[E, 4, 4]`` measured ``Z_ij`` = (frame j → frame i)
         relative transforms — the composition convention of
         ``models/odometry.py`` (``X_i · Z_ij ≈ X_j``).
-      weights: ``[E]`` per-edge scalar information weights (default 1);
-        loop closures can be up/down-weighted here.
+      weights: per-edge information — either ``[E]`` scalars (Λ = w·I,
+        default 1) or full ``[E, 6, 6]`` information matrices in the
+        ``[ρ, w]`` tangent ordering (e.g. from
+        ``models/uncertainty.information_from_covariance`` — edges from
+        well-constrained registrations then pull harder, axis by axis).
       iterations: fixed GN iteration count (static — one jit).
       anchor_weight: prior stiffness pinning pose 0 (gauge fix).
     """
@@ -199,6 +202,8 @@ def optimize_pose_graph(
     E = edges_i.shape[0]
     if weights is None:
         weights = jnp.ones((E,), jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    full_info = weights.ndim == 3
     poses = poses.astype(jnp.float32)
     meas_inv = jax.vmap(se3_inv)(measurements.astype(jnp.float32))
 
@@ -210,6 +215,13 @@ def optimize_pose_graph(
             r = se3_log(jnp.matmul(z_inv, A, precision=_PREC))
             Jj = jnp.eye(6) + 0.5 * _ad_small(r)  # Jr⁻¹(r) to first order
             Ji = -jnp.matmul(Jj, se3_adjoint(se3_inv(A)), precision=_PREC)
+            if full_info:
+                # Λ = L·Lᵀ → whiten: JᵀΛJ = (LᵀJ)ᵀ(LᵀJ)
+                floor = 1e-9 * (jnp.trace(w) / 6.0) + 1e-30
+                L = jnp.linalg.cholesky(w + floor * jnp.eye(6))
+                return (r, jnp.matmul(L.T, Ji, precision=_PREC),
+                        jnp.matmul(L.T, Jj, precision=_PREC),
+                        jnp.matmul(L.T, r, precision=_PREC))
             return r, Ji * jnp.sqrt(w), Jj * jnp.sqrt(w), r * jnp.sqrt(w)
 
         r_all, Ji_all, Jj_all, rw_all = jax.vmap(edge_terms)(
@@ -289,8 +301,15 @@ def close_loops(
     meas = jnp.concatenate([odo_meas, loop_measurements.astype(jnp.float32)])
     E_loop = loop_measurements.shape[0]
     lw = (jnp.ones((E_loop,), jnp.float32) if loop_weights is None
-          else loop_weights.astype(jnp.float32))
-    w = jnp.concatenate([
-        jnp.full((T - 1,), odometry_weight, jnp.float32), lw])
+          else jnp.asarray(loop_weights, jnp.float32))
+    if lw.ndim == 3:
+        # full information closures: lift the odometry scalars to w·I
+        odo_w = jnp.broadcast_to(
+            odometry_weight * jnp.eye(6, dtype=jnp.float32),
+            (T - 1, 6, 6))
+        w = jnp.concatenate([odo_w, lw])
+    else:
+        w = jnp.concatenate([
+            jnp.full((T - 1,), odometry_weight, jnp.float32), lw])
     return optimize_pose_graph(poses, ei, ej, meas, w,
                                iterations=iterations)

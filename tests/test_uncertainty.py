@@ -1,0 +1,121 @@
+"""Pose covariance (Censi GN) + full-information pose-graph edges."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import fpcr_tpu as f
+from fpcr_tpu.models.uncertainty import (information_from_covariance,
+                                         registration_covariance)
+
+
+@pytest.fixture(scope="module")
+def converged():
+    scene = f.synthetic_scene(width=32)
+    gt = f.gt_transform((0.02, -0.015, 0.01), (0.03, -0.02, 0.015))
+    tgt = gt.apply(scene.source)
+    res = f.run_icp(scene.source, tgt, f.ICPConfig(max_iterations=60))
+    return scene.source, tgt, res
+
+
+def test_covariance_spd_and_scales_with_noise(converged):
+    src, tgt, res = converged
+    cov = registration_covariance(src, tgt, res.transform)
+    c = np.asarray(cov)
+    np.testing.assert_allclose(c, c.T, atol=1e-12)
+    evals = np.linalg.eigvalsh(c)
+    assert (evals > 0).all()
+    # noisier target (known sigma2) => proportionally larger covariance
+    cov2 = registration_covariance(src, tgt, res.transform, sigma2=1e-4)
+    cov1 = registration_covariance(src, tgt, res.transform, sigma2=1e-6)
+    np.testing.assert_allclose(np.asarray(cov2), 100.0 * np.asarray(cov1),
+                               rtol=1e-4)
+
+
+def test_covariance_calibration_point_metric():
+    """Monte-Carlo: the predicted translation covariance matches the
+    empirical scatter of repeated noisy registrations (within a factor)."""
+    rng = np.random.default_rng(0)
+    scene = f.synthetic_scene(width=24)
+    src = scene.source
+    noise = 2e-3
+    ests = []
+    for k in range(12):
+        tgt = src + jnp.asarray(
+            rng.normal(scale=noise, size=src.shape).astype(np.float32))
+        res = f.run_icp(src, tgt, f.ICPConfig(max_iterations=30))
+        ests.append(np.asarray(res.transform.translation))
+    emp = np.var(np.stack(ests), axis=0).mean()
+    res = f.run_icp(src, src + jnp.asarray(
+        rng.normal(scale=noise, size=src.shape).astype(np.float32)),
+        f.ICPConfig(max_iterations=30))
+    cov = registration_covariance(src, src, res.transform,
+                                  sigma2=noise ** 2)
+    pred = float(np.trace(np.asarray(cov)[3:, 3:]) / 3.0)
+    # GN covariance is a first-order model: right order of magnitude
+    assert pred / 10 < emp < pred * 10, (emp, pred)
+
+
+def test_plane_covariance_anisotropy():
+    """A planar scene constrains the normal direction far more than the
+    in-plane directions — the covariance must say so."""
+    rng = np.random.default_rng(1)
+    xy = rng.uniform(-1, 1, (2000, 2)).astype(np.float32)
+    plane = jnp.asarray(np.concatenate(
+        [xy, np.zeros((2000, 1), np.float32)], axis=1))
+    tf = f.RigidTransform(jnp.eye(3), jnp.zeros(3))
+    cov = registration_covariance(
+        plane, plane, tf, f.ICPConfig(metric="plane"), sigma2=1e-6)
+    c = np.asarray(cov)
+    # translation block: z (normal) tightly constrained, x/y loose
+    assert c[5, 5] < c[3, 3] / 10
+    assert c[5, 5] < c[4, 4] / 10
+
+
+def test_information_ordering_roundtrip():
+    rng = np.random.default_rng(2)
+    A = rng.normal(size=(6, 6)).astype(np.float32)
+    cov = jnp.asarray(A @ A.T + 6 * np.eye(6, dtype=np.float32))
+    info = information_from_covariance(cov)
+    perm = [3, 4, 5, 0, 1, 2]
+    np.testing.assert_allclose(
+        np.asarray(info), np.linalg.inv(np.asarray(cov)[perm][:, perm]),
+        rtol=2e-3, atol=1e-5)
+
+
+def test_pose_graph_full_information_edges():
+    """[E,6,6] information matrices drive the solve (anisotropic pull)."""
+    from fpcr_tpu.models.pose_graph import optimize_pose_graph, se3_exp, se3_inv
+
+    rng = np.random.default_rng(3)
+    T = 10
+    gt = [jnp.eye(4)]
+    steps = []
+    for _ in range(T - 1):
+        xi = jnp.asarray(np.concatenate([
+            rng.normal(scale=0.2, size=3),
+            rng.normal(scale=0.1, size=3)]).astype(np.float32))
+        steps.append(se3_exp(xi))
+        gt.append(gt[-1] @ steps[-1])
+    gt = jnp.stack(gt)
+    noisy, p0 = [], [jnp.eye(4)]
+    for t in range(T - 1):
+        n = jnp.asarray(np.concatenate([
+            rng.normal(scale=0.01, size=3),
+            rng.normal(scale=0.005, size=3)]).astype(np.float32))
+        z = steps[t] @ se3_exp(n)
+        noisy.append(z)
+        p0.append(p0[-1] @ z)
+    p0 = jnp.stack(p0)
+    ei = jnp.concatenate([jnp.arange(T - 1, dtype=jnp.int32),
+                          jnp.asarray([0], jnp.int32)])
+    ej = jnp.concatenate([jnp.arange(1, T, dtype=jnp.int32),
+                          jnp.asarray([T - 1], jnp.int32)])
+    meas = jnp.concatenate([jnp.stack(noisy),
+                            (se3_inv(gt[0]) @ gt[T - 1])[None]])
+    info = jnp.broadcast_to(jnp.eye(6), (T, 6, 6))
+    info = info.at[T - 1].set(50.0 * jnp.eye(6))  # strong closure
+    res = optimize_pose_graph(p0, ei, ej, meas, info, iterations=8)
+    drift0 = float(jnp.abs(p0[-1] - gt[-1]).max())
+    drift1 = float(jnp.abs(res.poses[-1] - gt[-1]).max())
+    assert drift1 < drift0 * 0.1, (drift0, drift1)
