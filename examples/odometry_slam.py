@@ -73,11 +73,18 @@ Z = np.eye(4, dtype=np.float32)
 Z[:3, :3] = np.asarray(lc.transform.rotation)
 Z[:3, 3] = np.asarray(lc.transform.translation)
 
-# 3) pose-graph optimization redistributes the drift
+# 3) weight the closure edge by its OWN estimated uncertainty (Censi GN
+# covariance of the closure registration -> 6x6 information matrix)
+cov = f.registration_covariance(frames[T - 1], frames[0], lc.transform)
+info = f.information_from_covariance(cov)
+# scale odometry edges to a comparable information level
+lam = float(jnp.trace(info) / 6.0)
+
+# 4) pose-graph optimization redistributes the drift
 res = f.close_loops(odo, jnp.asarray([0], jnp.int32),
                     jnp.asarray([T - 1], jnp.int32),
-                    jnp.asarray(Z)[None], jnp.asarray([20.0]),
-                    iterations=6)
+                    jnp.asarray(Z)[None], info[None],
+                    odometry_weight=lam / 20.0, iterations=6)
 err = float(np.abs(np.asarray(res.poses[T - 1]) - poses_gt[T - 1]).max())
 print(f"after loop closure + pose-graph GN:  {err:.2e} "
       f"(edge residual RMS {float(res.residual_rms[-1]):.2e})")
