@@ -74,9 +74,13 @@ Z[:3, :3] = np.asarray(lc.transform.rotation)
 Z[:3, 3] = np.asarray(lc.transform.translation)
 
 # 3) weight the closure edge by its OWN estimated uncertainty (Censi GN
-# covariance of the closure registration -> 6x6 information matrix)
-cov = f.registration_covariance(frames[T - 1], frames[0], lc.transform)
-info = f.information_from_covariance(cov)
+# covariance of the closure registration -> 6x6 information matrix),
+# evaluated under the SAME trimmed config the registration used and
+# adjoint-transported to the pose graph's right tangent at Z
+cov = f.registration_covariance(
+    frames[T - 1], frames[0], lc.transform,
+    f.ICPConfig(auto_trim=9.0))
+info = f.information_from_covariance(cov, lc.transform)
 # scale odometry edges to a comparable information level
 lam = float(jnp.trace(info) / 6.0)
 

@@ -206,6 +206,16 @@ def optimize_pose_graph(
     full_info = weights.ndim == 3
     poses = poses.astype(jnp.float32)
     meas_inv = jax.vmap(se3_inv)(measurements.astype(jnp.float32))
+    if full_info:
+        # Λ = L·Lᵀ, constant across GN iterations — factor ONCE here, not
+        # inside every fori_loop trip
+        def _chol(w):
+            floor = 1e-9 * (jnp.trace(w) / 6.0) + 1e-30
+            return jnp.linalg.cholesky(w + floor * jnp.eye(6))
+
+        whiten_L = jax.vmap(_chol)(weights)
+    else:
+        whiten_L = jnp.sqrt(weights)
 
     def gn_step(it, carry):
         X, rms_hist = carry
@@ -216,16 +226,14 @@ def optimize_pose_graph(
             Jj = jnp.eye(6) + 0.5 * _ad_small(r)  # Jr⁻¹(r) to first order
             Ji = -jnp.matmul(Jj, se3_adjoint(se3_inv(A)), precision=_PREC)
             if full_info:
-                # Λ = L·Lᵀ → whiten: JᵀΛJ = (LᵀJ)ᵀ(LᵀJ)
-                floor = 1e-9 * (jnp.trace(w) / 6.0) + 1e-30
-                L = jnp.linalg.cholesky(w + floor * jnp.eye(6))
-                return (r, jnp.matmul(L.T, Ji, precision=_PREC),
-                        jnp.matmul(L.T, Jj, precision=_PREC),
-                        jnp.matmul(L.T, r, precision=_PREC))
-            return r, Ji * jnp.sqrt(w), Jj * jnp.sqrt(w), r * jnp.sqrt(w)
+                # whiten: JᵀΛJ = (LᵀJ)ᵀ(LᵀJ)
+                return (r, jnp.matmul(w.T, Ji, precision=_PREC),
+                        jnp.matmul(w.T, Jj, precision=_PREC),
+                        jnp.matmul(w.T, r, precision=_PREC))
+            return r, Ji * w, Jj * w, r * w
 
         r_all, Ji_all, Jj_all, rw_all = jax.vmap(edge_terms)(
-            edges_i, edges_j, meas_inv, weights)
+            edges_i, edges_j, meas_inv, whiten_L)
 
         # dense [T,6,T,6] normal matrix via four block scatter-adds
         H = jnp.zeros((T, 6, T, 6), jnp.float32)

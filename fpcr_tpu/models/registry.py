@@ -50,6 +50,9 @@ def register(
         raise ValueError(f"unknown method {method!r}; one of {METHODS}")
     if config is not None and config_kw:
         raise ValueError("pass either config= or config keywords, not both")
+    if "metric" in config_kw:
+        raise ValueError(
+            "pass the metric as method= (e.g. method='plane'), not metric=")
 
     if method in _METRIC_METHODS:
         cfg = config or ICPConfig(metric=method, **config_kw)
@@ -73,10 +76,16 @@ def register(
 
         from .pipeline import icp_coarse_to_fine
 
+        # the coarse stage is brute-force-on-a-subset by design; the fine
+        # stage honors an explicitly requested matcher, defaulting to the
+        # banded large-N path
+        fine_matcher = (cfg.matcher if ("matcher" in config_kw
+                                        or config is not None)
+                        else "morton")
         c2f = icp_coarse_to_fine(
             source, target,
             coarse_config=dataclasses.replace(cfg, matcher="xla"),
-            fine_config=dataclasses.replace(cfg, matcher="morton"),
+            fine_config=dataclasses.replace(cfg, matcher=fine_matcher),
         )
         return c2f.fine._replace(transform=c2f.transform)
     if method == "aa":

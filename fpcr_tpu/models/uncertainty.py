@@ -78,21 +78,22 @@ def registration_covariance(
         src = jnp.take(src, order, axis=0)
     q_m, n_m, dmin, found = _correspondences(
         src, tgt, target_mask, target_normals, config, state)
-    w = (jnp.ones((src.shape[0],), jnp.float32) if found is None
-         else found.astype(jnp.float32))  # exhaustive matchers: all match
-    if config.max_correspondence_dist is not None:
-        w = w * (dmin <= config.max_correspondence_dist ** 2)
+    # the SAME trimming/robust pipeline the ICP loop applies — morton
+    # window misses carry unbounded distances and MUST be auto-trimmed
+    # out of H and σ² exactly as they are trimmed out of the solve
+    from .icp import correspondence_weights
+
+    mask = correspondence_weights(dmin, found, config)
+    w = (jnp.ones((src.shape[0],), jnp.float32) if mask is None
+         else mask.astype(jnp.float32))
     n_eff = jnp.maximum(jnp.sum(w), 1.0)
 
     if n_m is not None:
-        # plane model: J_i = [p×n, n], scalar residuals
-        c = jnp.cross(src, n_m)
-        J = jnp.concatenate([c, n_m], axis=1)  # [N, 6]
+        # plane model: H is exactly plane_normal_equations' C
+        from ..ops.solve import plane_normal_equations
+
+        H, _ = plane_normal_equations(src, q_m, n_m, mask=w)
         r = jnp.sum((src - q_m) * n_m, axis=1)
-        H = jax.lax.dot_general(
-            J * w[:, None], J,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC)
         s2 = (jnp.sum(w * r * r) / n_eff) if sigma2 is None else jnp.float32(sigma2)
     else:
         # point model: J_i = [-[p]x | I] per 3-D residual; H = sum J^T J
@@ -124,10 +125,35 @@ def registration_covariance(
     return 0.5 * (cov + cov.T)  # symmetrize away inversion noise
 
 
-def information_from_covariance(cov_tt: jnp.ndarray) -> jnp.ndarray:
-    """[θ, t]-ordered covariance → [ρ, w]-ordered 6×6 information matrix
-    (the pose graph's tangent convention, ``models/pose_graph.py``)."""
+def information_from_covariance(
+    cov_tt: jnp.ndarray,
+    transform: Optional[RigidTransform] = None,
+) -> jnp.ndarray:
+    """[θ, t]-ordered registration covariance → [ρ, w]-ordered 6×6
+    information matrix in the pose graph's RIGHT-tangent convention
+    (``models/pose_graph.py``: ``Z = Ẑ·exp(ε)``).
+
+    The Censi covariance describes a LEFT perturbation of the estimated
+    transform (``p ↦ p + θ×p + t`` applied after Ẑ): with
+    ``exp(δ_left)·Ẑ = Ẑ·exp(ε)``, the right-tangent error is
+    ``ε = Ad(Ẑ⁻¹)·δ_left``. Pass the converged ``transform`` (= the edge
+    measurement Ẑ) to apply that transport — REQUIRED for edges far from
+    identity (e.g. a facing-the-other-way loop closure), where a bare
+    permutation would rotate the information axes wrongly. ``None``
+    keeps the near-identity approximation.
+    """
     perm = jnp.asarray([3, 4, 5, 0, 1, 2])
     cov_rw = cov_tt[perm][:, perm]
+    if transform is not None:
+        from .pose_graph import se3_adjoint, se3_inv
+
+        top = jnp.concatenate(
+            [transform.rotation,
+             transform.translation[:, None].astype(jnp.float32)], axis=1)
+        M = jnp.concatenate(
+            [top, jnp.asarray([[0.0, 0.0, 0.0, 1.0]])], axis=0)
+        A = se3_adjoint(se3_inv(M))
+        cov_rw = jnp.matmul(
+            A, jnp.matmul(cov_rw, A.T, precision=_PREC), precision=_PREC)
     floor = 1e-12 * (jnp.trace(cov_rw) / 6.0) + 1e-30
     return jnp.linalg.inv(cov_rw + floor * jnp.eye(6))
