@@ -119,3 +119,23 @@ def test_pose_graph_full_information_edges():
     drift0 = float(jnp.abs(p0[-1] - gt[-1]).max())
     drift1 = float(jnp.abs(res.poses[-1] - gt[-1]).max())
     assert drift1 < drift0 * 0.1, (drift0, drift1)
+
+
+def test_information_adjoint_transport():
+    """With a far-from-identity edge transform, the transported
+    information equals Ad(Z^-1) Cov Ad(Z^-1)^T inverted (right-tangent)."""
+    from fpcr_tpu.models.pose_graph import se3_adjoint, se3_inv
+
+    rng = np.random.default_rng(4)
+    A = rng.normal(size=(6, 6)).astype(np.float32)
+    cov = jnp.asarray(A @ A.T + 6 * np.eye(6, dtype=np.float32))
+    tf = f.gt_transform((0.3, -0.2, 0.5), (0.4, 2.9, -0.3))  # near-pi pose
+    info = information_from_covariance(cov, tf)
+    M = np.eye(4, dtype=np.float32)
+    M[:3, :3] = np.asarray(tf.rotation)
+    M[:3, 3] = np.asarray(tf.translation)
+    Ad = np.asarray(se3_adjoint(se3_inv(jnp.asarray(M))))
+    perm = [3, 4, 5, 0, 1, 2]
+    expected = np.linalg.inv(Ad @ np.asarray(cov)[perm][:, perm] @ Ad.T)
+    np.testing.assert_allclose(np.asarray(info), expected, rtol=5e-2,
+                               atol=1e-4 * abs(expected).max())
