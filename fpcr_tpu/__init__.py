@@ -48,6 +48,7 @@ from .models.odometry import OdometryResult, register_sequence
 from .models.pose_graph import (
     PoseGraphResult,
     close_loops,
+    detect_loop_closures,
     optimize_pose_graph,
 )
 from .models.global_reg import (
@@ -88,6 +89,7 @@ __all__ = [
     "register_ndt",
     "optimize_pose_graph",
     "close_loops",
+    "detect_loop_closures",
     "PoseGraphResult",
     "registration_covariance",
     "information_from_covariance",

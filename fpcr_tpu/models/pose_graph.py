@@ -321,3 +321,73 @@ def close_loops(
             jnp.full((T - 1,), odometry_weight, jnp.float32), lw])
     return optimize_pose_graph(poses, ei, ej, meas, w,
                                iterations=iterations)
+
+
+def detect_loop_closures(
+    frames: jnp.ndarray,
+    odometry,
+    *,
+    radius: float = 0.5,
+    min_separation: int = 3,
+    max_pairs: int = 16,
+    max_error: float = 1e-3,
+    config=None,
+):
+    """Find and verify loop-closure candidates in a scan sequence.
+
+    Candidate pairs are frames whose *odometry-estimated* positions lie
+    within ``radius`` but are at least ``min_separation`` steps apart
+    (tiny host-side O(T²) scan over the trajectory — T is trajectory
+    scale). All candidates are then verified AT ONCE with one vmapped
+    registration (``models/batch.register_batch`` — the TPU answer to
+    "run K independent ICPs"), and pairs whose final RMSE exceeds
+    ``max_error`` are rejected.
+
+    Returns ``(edges_i [K], edges_j [K], measurements [K,4,4],
+    weights [K])`` ready for :func:`optimize_pose_graph` /
+    :func:`close_loops` (weights = 1/final_rmse², normalized to mean 1 —
+    relative confidence between closures). Empty arrays if nothing
+    verifies.
+    """
+    import numpy as np
+
+    from .batch import register_batch
+    from .icp import ICPConfig
+
+    config = config or ICPConfig(max_iterations=40, auto_trim=9.0)
+    poses = np.asarray(odometry.poses)
+    T = poses.shape[0]
+    pos = poses[:, :3, 3]
+    cand = []
+    for i in range(T):
+        for j in range(i + min_separation, T):
+            if np.linalg.norm(pos[i] - pos[j]) < radius:
+                cand.append((i, j))
+    cand = cand[:max_pairs]
+    if not cand:
+        z = jnp.zeros((0,), jnp.int32)
+        return z, z, jnp.zeros((0, 4, 4), jnp.float32), jnp.zeros((0,))
+
+    ii = np.array([c[0] for c in cand])
+    jj = np.array([c[1] for c in cand])
+    # register frame j onto frame i -> Z_ij (frame j -> frame i), the
+    # measurement convention of optimize_pose_graph
+    res = register_batch(frames[jj], frames[ii], config)
+    errs = np.asarray(res.errors)
+    ni = np.asarray(res.num_iterations)
+    final = np.array([errs[k, max(int(ni[k]) - 1, 0)] for k in range(len(cand))])
+    keep = np.isfinite(final) & (final < max_error)
+    if not keep.any():
+        z = jnp.zeros((0,), jnp.int32)
+        return z, z, jnp.zeros((0, 4, 4), jnp.float32), jnp.zeros((0,))
+
+    R = np.asarray(res.transform.rotation)[keep]
+    t = np.asarray(res.transform.translation)[keep]
+    K = R.shape[0]
+    Z = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    Z[:, :3, :3] = R
+    Z[:, :3, 3] = t
+    w = 1.0 / np.maximum(final[keep], 1e-12) ** 2
+    w = w / w.mean()
+    return (jnp.asarray(ii[keep], jnp.int32), jnp.asarray(jj[keep], jnp.int32),
+            jnp.asarray(Z), jnp.asarray(w, jnp.float32))

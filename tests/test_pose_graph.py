@@ -155,3 +155,51 @@ def test_se3_log_near_pi():
         # (1e-4-grade) — the failure mode being regressed here was 8.6
         # absolute garbage from the skew-only formula
         np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=5e-4)
+
+
+def test_detect_loop_closures_end_to_end():
+    """Sliding-window frames that return to the start: detection finds a
+    0 <-> T-1 closure, verification keeps it, and the optimized graph
+    beats open-loop odometry."""
+    from fpcr_tpu.models.pose_graph import detect_loop_closures
+
+    rng = np.random.default_rng(11)
+    world = np.asarray(f.synthetic_scene(width=48).source)
+    T, N = 8, 512
+    xs = np.concatenate([np.linspace(0, 0.8, T // 2),
+                         np.linspace(0.8, 0.0, T - T // 2)])
+    frames, poses_gt = [], []
+    for t in range(T):
+        M = np.eye(4, dtype=np.float32)
+        M[0, 3] = xs[t]
+        poses_gt.append(M)
+        d = np.abs(world[:, 0] - xs[t])
+        crop = world[np.argsort(d)[:N]]
+        local = crop - M[:3, 3]
+        frames.append((local + rng.normal(scale=3e-3, size=local.shape))
+                      .astype(np.float32))
+    frames = jnp.stack([jnp.asarray(fr) for fr in frames])
+
+    odo = f.register_sequence(frames, f.ICPConfig(max_iterations=25,
+                                                  auto_trim=9.0))
+    ei, ej, Z, w = detect_loop_closures(
+        frames, odo, radius=0.3, min_separation=3, max_error=1e-2)
+    assert ei.shape[0] >= 1  # the return-to-start pair must be found
+    assert int(ej[0]) - int(ei[0]) >= 3
+    res = f.close_loops(odo, ei, ej, Z, w, iterations=6)
+    err_open = float(jnp.abs(odo.poses[T - 1]
+                             - jnp.asarray(poses_gt[T - 1])).max())
+    err_opt = float(jnp.abs(res.poses[T - 1]
+                            - jnp.asarray(poses_gt[T - 1])).max())
+    assert err_opt < err_open, (err_open, err_opt)
+
+
+def test_detect_loop_closures_none_found():
+    from fpcr_tpu.models.pose_graph import detect_loop_closures
+
+    rng = np.random.default_rng(12)
+    base = jnp.asarray(rng.uniform(-1, 1, (3, 256, 3)).astype(np.float32))
+    odo = f.register_sequence(base, f.ICPConfig(max_iterations=5))
+    ei, ej, Z, w = detect_loop_closures(base, odo, radius=1e-12,
+                                        min_separation=2)
+    assert ei.shape[0] == 0 and Z.shape == (0, 4, 4)
