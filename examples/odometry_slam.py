@@ -66,29 +66,26 @@ odo = f.register_sequence(frames, f.ICPConfig(max_iterations=25,
 drift = float(np.abs(np.asarray(odo.poses[T - 1]) - poses_gt[T - 1]).max())
 print(f"open-loop odometry end-pose drift: {drift:.2e}")
 
-# 2) loop closure: last frame registered directly onto frame 0
-lc = f.run_icp(frames[T - 1], frames[0], f.ICPConfig(max_iterations=40,
-                                                     auto_trim=9.0))
-Z = np.eye(4, dtype=np.float32)
-Z[:3, :3] = np.asarray(lc.transform.rotation)
-Z[:3, 3] = np.asarray(lc.transform.translation)
+# 2) AUTOMATIC loop-closure detection: pose-proximity candidates,
+# all verified at once with one vmapped registration
+ei, ej, Z_all, w_all = f.detect_loop_closures(
+    frames, odo, radius=0.3, min_separation=4, max_error=1e-2)
+print(f"detected {int(ei.shape[0])} verified loop closure(s): "
+      f"{list(zip(np.asarray(ei).tolist(), np.asarray(ej).tolist()))}")
 
-# 3) weight the closure edge by its OWN estimated uncertainty (Censi GN
-# covariance of the closure registration -> 6x6 information matrix),
-# evaluated under the SAME trimmed config the registration used and
-# adjoint-transported to the pose graph's right tangent at Z
-cov = f.registration_covariance(
-    frames[T - 1], frames[0], lc.transform,
-    f.ICPConfig(auto_trim=9.0))
-info = f.information_from_covariance(cov, lc.transform)
-# scale odometry edges to a comparable information level
-lam = float(jnp.trace(info) / 6.0)
+# 3) estimate the first closure's uncertainty (Censi GN covariance →
+# 6×6 information, adjoint-transported to the edge tangent) — the
+# general recipe for information-weighted edges
+lc_tf = f.RigidTransform(Z_all[0, :3, :3], Z_all[0, :3, 3])
+cov = f.registration_covariance(frames[int(ej[0])], frames[int(ei[0])],
+                                lc_tf, f.ICPConfig(auto_trim=9.0))
+info = f.information_from_covariance(cov, lc_tf)
+print(f"first closure pose std: rot {float(jnp.sqrt(jnp.trace(cov[:3,:3])/3)):.1e} rad, "
+      f"trans {float(jnp.sqrt(jnp.trace(cov[3:,3:])/3)):.1e}")
 
-# 4) pose-graph optimization redistributes the drift
-res = f.close_loops(odo, jnp.asarray([0], jnp.int32),
-                    jnp.asarray([T - 1], jnp.int32),
-                    jnp.asarray(Z)[None], info[None],
-                    odometry_weight=lam / 20.0, iterations=6)
+# 4) pose-graph optimization over ALL detected closures (confidence-
+# weighted) redistributes the drift
+res = f.close_loops(odo, ei, ej, Z_all, 20.0 * w_all, iterations=6)
 err = float(np.abs(np.asarray(res.poses[T - 1]) - poses_gt[T - 1]).max())
 print(f"after loop closure + pose-graph GN:  {err:.2e} "
       f"(edge residual RMS {float(res.residual_rms[-1]):.2e})")
