@@ -1,10 +1,12 @@
 """Example 5 — odometry + loop closure: a small SLAM back-end.
 
 A sensor sweeps a scene in T frames; ``register_sequence`` estimates the
-open-loop trajectory (all T−1 pairwise ICPs in one vmapped program), the
-last frame is re-registered directly onto the first (a loop closure), and
-``close_loops`` redistributes the accumulated drift over the whole
-trajectory with an SE(3) pose-graph Gauss-Newton solve — all on device.
+open-loop trajectory (all T−1 pairwise ICPs in one vmapped program),
+``detect_loop_closures`` finds and batch-verifies revisit pairs
+automatically, each closure's uncertainty is estimated with the Censi GN
+covariance, and ``close_loops`` redistributes the accumulated drift over
+the whole trajectory with an SE(3) pose-graph Gauss-Newton solve using
+full 6×6 information-weighted edges — all on device.
 
 Also shows NDT (voxel Gaussian field) as the wide-basin alternative when
 a frame's displacement is too large for plain ICP.
@@ -72,25 +74,35 @@ ei, ej, Z_all, w_all = f.detect_loop_closures(
     frames, odo, radius=0.3, min_separation=4, max_error=1e-2)
 print(f"detected {int(ei.shape[0])} verified loop closure(s): "
       f"{list(zip(np.asarray(ei).tolist(), np.asarray(ej).tolist()))}")
+if ei.shape[0] == 0:
+    print("no verified closures — keeping the open-loop trajectory")
+    sys.exit(0)
 
-# 3) estimate the first closure's uncertainty (Censi GN covariance →
-# 6×6 information, adjoint-transported to the edge tangent) — the
-# general recipe for information-weighted edges
-lc_tf = f.RigidTransform(Z_all[0, :3, :3], Z_all[0, :3, 3])
-cov = f.registration_covariance(frames[int(ej[0])], frames[int(ei[0])],
-                                lc_tf, f.ICPConfig(auto_trim=9.0))
-info = f.information_from_covariance(cov, lc_tf)
-print(f"first closure pose std: rot {float(jnp.sqrt(jnp.trace(cov[:3,:3])/3)):.1e} rad, "
-      f"trans {float(jnp.sqrt(jnp.trace(cov[3:,3:])/3)):.1e}")
+# 3) estimate every closure's uncertainty (Censi GN covariance → 6×6
+# information, adjoint-transported to the edge tangent) — full
+# information-weighted edges, not scalars
+infos = []
+for k in range(int(ei.shape[0])):
+    tf_k = f.RigidTransform(Z_all[k, :3, :3], Z_all[k, :3, 3])
+    cov = f.registration_covariance(frames[int(ej[k])], frames[int(ei[k])],
+                                    tf_k, f.ICPConfig(auto_trim=9.0))
+    infos.append(f.information_from_covariance(cov, tf_k))
+    if k == 0:
+        print(f"first closure pose std: "
+              f"rot {float(jnp.sqrt(jnp.trace(cov[:3,:3])/3)):.1e} rad, "
+              f"trans {float(jnp.sqrt(jnp.trace(cov[3:,3:])/3)):.1e}")
+infos = jnp.stack(infos)
+lam = float(jnp.trace(infos[0]) / 6.0)
 
-# 4) pose-graph optimization over ALL detected closures (confidence-
-# weighted) redistributes the drift
-res = f.close_loops(odo, ei, ej, Z_all, 20.0 * w_all, iterations=6)
+# 4) pose-graph optimization over ALL detected closures with 6×6
+# information edges redistributes the drift
+res = f.close_loops(odo, ei, ej, Z_all, infos,
+                    odometry_weight=lam / 20.0, iterations=6)
 err = float(np.abs(np.asarray(res.poses[T - 1]) - poses_gt[T - 1]).max())
 print(f"after loop closure + pose-graph GN:  {err:.2e} "
       f"(edge residual RMS {float(res.residual_rms[-1]):.2e})")
 
-# 4) NDT: the wide-basin option for a big inter-frame jump
+# 5) NDT: the wide-basin option for a big inter-frame jump
 cloud = jnp.asarray(world[:2048])
 big = f.gt_transform((0.3, -0.25, 0.2), (0.25, -0.2, 0.15))
 moved = big.apply(cloud)

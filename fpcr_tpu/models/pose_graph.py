@@ -338,10 +338,20 @@ def detect_loop_closures(
     Candidate pairs are frames whose *odometry-estimated* positions lie
     within ``radius`` but are at least ``min_separation`` steps apart
     (tiny host-side O(T²) scan over the trajectory — T is trajectory
-    scale). All candidates are then verified AT ONCE with one vmapped
-    registration (``models/batch.register_batch`` — the TPU answer to
-    "run K independent ICPs"), and pairs whose final RMSE exceeds
-    ``max_error`` are rejected.
+    scale). Candidates are ordered by loop value — LARGEST step
+    separation first, then closest — before the ``max_pairs`` cap, so
+    long-range revisits survive truncation over the trivially-near
+    consecutive pairs.
+
+    Verification is ONE vmapped registration over a STATIC batch of
+    ``max_pairs`` pairs (short candidate lists are padded by repetition
+    — one compiled program regardless of how many candidates a given
+    trajectory produces): each pair is pre-transformed by the
+    odometry-predicted relative pose ``A = X_i⁻¹X_j`` so the ICP only
+    has to recover the DRIFT, not the full relative pose — closures
+    where the sensor returns facing a different direction verify
+    correctly instead of starting a large-rotation ICP from identity.
+    Pairs whose final trimmed RMSE exceeds ``max_error`` are rejected.
 
     Returns ``(edges_i [K], edges_j [K], measurements [K,4,4],
     weights [K])`` ready for :func:`optimize_pose_graph` /
@@ -354,6 +364,10 @@ def detect_loop_closures(
     from .batch import register_batch
     from .icp import ICPConfig
 
+    def _empty():
+        z = jnp.zeros((0,), jnp.int32)
+        return z, z, jnp.zeros((0, 4, 4), jnp.float32), jnp.zeros((0,))
+
     config = config or ICPConfig(max_iterations=40, auto_trim=9.0)
     poses = np.asarray(odometry.poses)
     T = poses.shape[0]
@@ -361,32 +375,45 @@ def detect_loop_closures(
     cand = []
     for i in range(T):
         for j in range(i + min_separation, T):
-            if np.linalg.norm(pos[i] - pos[j]) < radius:
-                cand.append((i, j))
-    cand = cand[:max_pairs]
+            d = float(np.linalg.norm(pos[i] - pos[j]))
+            if d < radius:
+                cand.append((i, j, d))
     if not cand:
-        z = jnp.zeros((0,), jnp.int32)
-        return z, z, jnp.zeros((0, 4, 4), jnp.float32), jnp.zeros((0,))
+        return _empty()
+    # loop value: prefer the largest step separation, then proximity
+    cand.sort(key=lambda c: (-(c[1] - c[0]), c[2]))
+    n_real = min(len(cand), max_pairs)
+    cand = cand[:max_pairs]
+    # pad to the static batch size — one compiled program for any count
+    while len(cand) < max_pairs:
+        cand.append(cand[0])
 
     ii = np.array([c[0] for c in cand])
     jj = np.array([c[1] for c in cand])
-    # register frame j onto frame i -> Z_ij (frame j -> frame i), the
-    # measurement convention of optimize_pose_graph
-    res = register_batch(frames[jj], frames[ii], config)
+    # odometry-predicted relative pose A_k = X_i^-1 X_j: start each
+    # verification from the prediction, register only the residual drift
+    A = np.stack([np.linalg.inv(poses[i]) @ poses[j]
+                  for i, j in zip(ii, jj)]).astype(np.float32)
+    fj = np.asarray(frames)[jj]
+    fj_pred = np.einsum("kab,knb->kna", A[:, :3, :3], fj) + A[:, None, :3, 3]
+    res = register_batch(jnp.asarray(fj_pred), frames[ii], config)
     errs = np.asarray(res.errors)
     ni = np.asarray(res.num_iterations)
-    final = np.array([errs[k, max(int(ni[k]) - 1, 0)] for k in range(len(cand))])
+    final = np.array([errs[k, max(int(ni[k]) - 1, 0)]
+                      for k in range(len(cand))])
     keep = np.isfinite(final) & (final < max_error)
+    keep[n_real:] = False  # padded repeats never emit edges
     if not keep.any():
-        z = jnp.zeros((0,), jnp.int32)
-        return z, z, jnp.zeros((0, 4, 4), jnp.float32), jnp.zeros((0,))
+        return _empty()
 
-    R = np.asarray(res.transform.rotation)[keep]
-    t = np.asarray(res.transform.translation)[keep]
-    K = R.shape[0]
-    Z = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
-    Z[:, :3, :3] = R
-    Z[:, :3, 3] = t
+    # measured closure Z = dZ · A (dZ = the registered residual)
+    R = np.asarray(res.transform.rotation)
+    t = np.asarray(res.transform.translation)
+    K_all = R.shape[0]
+    dZ = np.tile(np.eye(4, dtype=np.float32), (K_all, 1, 1))
+    dZ[:, :3, :3] = R
+    dZ[:, :3, 3] = t
+    Z = np.einsum("kab,kbc->kac", dZ, A)[keep]
     w = 1.0 / np.maximum(final[keep], 1e-12) ** 2
     w = w / w.mean()
     return (jnp.asarray(ii[keep], jnp.int32), jnp.asarray(jj[keep], jnp.int32),

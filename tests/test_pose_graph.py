@@ -184,8 +184,10 @@ def test_detect_loop_closures_end_to_end():
                                                   auto_trim=9.0))
     ei, ej, Z, w = detect_loop_closures(
         frames, odo, radius=0.3, min_separation=3, max_error=1e-2)
-    assert ei.shape[0] >= 1  # the return-to-start pair must be found
-    assert int(ej[0]) - int(ei[0]) >= 3
+    assert ei.shape[0] >= 1
+    # the SPECIFIC long-range return-to-start closure must be found, and
+    # the largest-separation-first ordering must surface it first
+    assert (int(ei[0]), int(ej[0])) == (0, T - 1), (ei, ej)
     res = f.close_loops(odo, ei, ej, Z, w, iterations=6)
     err_open = float(jnp.abs(odo.poses[T - 1]
                              - jnp.asarray(poses_gt[T - 1])).max())

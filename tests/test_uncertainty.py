@@ -122,19 +122,32 @@ def test_pose_graph_full_information_edges():
 
 
 def test_information_adjoint_transport():
-    """With a far-from-identity edge transform, the transported
-    information equals Ad(Z^-1) Cov Ad(Z^-1)^T inverted (right-tangent)."""
-    from fpcr_tpu.models.pose_graph import se3_adjoint, se3_inv
+    """Independent (non-circular) check of the transport convention:
+    the defining identity exp(δ_left)·Z = Z·exp(Ad(Z⁻¹)·δ_left) must hold
+    at the matrix level for the SAME Ad direction the implementation
+    uses, and the transported information must reflect it."""
+    from fpcr_tpu.models.pose_graph import (se3_adjoint, se3_exp, se3_inv)
 
     rng = np.random.default_rng(4)
-    A = rng.normal(size=(6, 6)).astype(np.float32)
-    cov = jnp.asarray(A @ A.T + 6 * np.eye(6, dtype=np.float32))
     tf = f.gt_transform((0.3, -0.2, 0.5), (0.4, 2.9, -0.3))  # near-pi pose
-    info = information_from_covariance(cov, tf)
     M = np.eye(4, dtype=np.float32)
     M[:3, :3] = np.asarray(tf.rotation)
     M[:3, 3] = np.asarray(tf.translation)
-    Ad = np.asarray(se3_adjoint(se3_inv(jnp.asarray(M))))
+    Mj = jnp.asarray(M)
+    # matrix-level identity for random small left perturbations — checks
+    # the DIRECTION (Ad(Z^-1), not Ad(Z)) independently of the info math
+    for _ in range(3):
+        d = jnp.asarray((0.05 * rng.standard_normal(6)).astype(np.float32))
+        lhs = np.asarray(se3_exp(d) @ Mj)
+        rhs = np.asarray(Mj @ se3_exp(se3_adjoint(se3_inv(Mj)) @ d))
+        np.testing.assert_allclose(lhs, rhs, atol=1e-4)
+
+    # and the transported information matches the closed form built from
+    # that verified identity
+    A6 = rng.normal(size=(6, 6)).astype(np.float32)
+    cov = jnp.asarray(A6 @ A6.T + 6 * np.eye(6, dtype=np.float32))
+    info = information_from_covariance(cov, tf)
+    Ad = np.asarray(se3_adjoint(se3_inv(Mj)))
     perm = [3, 4, 5, 0, 1, 2]
     expected = np.linalg.inv(Ad @ np.asarray(cov)[perm][:, perm] @ Ad.T)
     np.testing.assert_allclose(np.asarray(info), expected, rtol=5e-2,
