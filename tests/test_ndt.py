@@ -175,3 +175,15 @@ def test_disjoint_clouds_not_converged():
     res = run_ndt(a, b, NDTConfig(voxel_size=0.25, max_iterations=10))
     assert float(res.matched_fraction) == 0.0
     assert not bool(res.converged)
+
+
+def test_register_ndt_hall_scan():
+    """Real LiDAR: NDT init + plane ICP refine on the Ouster hall scan
+    recovers the GT transform (auto voxel sizing from real spacing)."""
+    from fpcr_tpu.data.ouster import hall_scene
+
+    scene = hall_scene()
+    res = register_ndt(scene.source, scene.target,
+                       f.ICPConfig(metric="plane", max_iterations=40))
+    assert float(f.transform_rmse(res.transform, scene.ground_truth,
+                                  scene.source)) < 1e-5
