@@ -43,7 +43,11 @@ import jax.numpy as jnp
 from .eigh3 import eigh3
 
 _AXIS_BITS = 10  # 1024 cells per axis — ample for NDT resolutions
-_KEY_PAD = jnp.int32(2 ** 31 - 1)  # padding key; sorts after all real keys
+# padding key; sorts after all real keys. Plain Python int, NOT jnp.int32:
+# a module-level jnp constant would initialize the XLA backend at import
+# time, which breaks jax.distributed.initialize() in multihost processes
+# (same trap ops/eigh3.py documents for trace leakage).
+_KEY_PAD = 2 ** 31 - 1
 
 
 class NDTGrid(NamedTuple):
