@@ -49,3 +49,21 @@ def test_morton_unroll_variants_agree():
     m8, d8, i8, _ = morton_nn(ps, table, unroll=8)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i8))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d8), atol=0)
+
+
+def test_import_does_not_initialize_backend():
+    """Importing fpcr_tpu must not create any XLA backend: multihost
+    processes call jax.distributed.initialize() AFTER importing the
+    library, which raises if an import-time jnp constant already
+    initialized a backend (regression: ops/ndt.py's _KEY_PAD)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run([sys.executable, "-c", (
+        "import fpcr_tpu\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+        "print('CLEAN')")], capture_output=True, text=True, timeout=300,
+        cwd="/root/repo")
+    assert out.returncode == 0 and "CLEAN" in out.stdout, (
+        out.stdout + out.stderr)
