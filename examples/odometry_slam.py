@@ -109,3 +109,7 @@ moved = big.apply(cloud)
 ndt = f.register_ndt(cloud, moved, f.ICPConfig(max_iterations=40))
 print(f"NDT init + ICP refine on a 0.25-rad jump: GT error "
       f"{float(f.transform_rmse(ndt.transform, big, cloud)):.2e}")
+
+# 6) fuse the optimized trajectory into one downsampled map
+pts, valid = f.build_map(frames, res.poses, voxel_size=0.02)
+print(f"fused map: {int(valid.sum())} voxels from {T}x{N} scan points")

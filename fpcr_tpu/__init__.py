@@ -44,7 +44,7 @@ from .models.history import (
 from .models.anderson import run_aa_icp
 from .models.sgd_icp import run_sgd_icp
 from .models.scaled_icp import ScaledICPResult, run_scaled_icp
-from .models.odometry import OdometryResult, register_sequence
+from .models.odometry import OdometryResult, build_map, register_sequence
 from .models.pose_graph import (
     PoseGraphResult,
     close_loops,
@@ -90,6 +90,7 @@ __all__ = [
     "optimize_pose_graph",
     "close_loops",
     "detect_loop_closures",
+    "build_map",
     "PoseGraphResult",
     "registration_covariance",
     "information_from_covariance",

@@ -72,3 +72,33 @@ def register_sequence(
     eye = jnp.eye(4, dtype=mats.dtype)[None]
     poses = jnp.concatenate([eye, prefixes], axis=0)  # [T, 4, 4]
     return OdometryResult(poses=poses, relative=rel)
+
+
+def build_map(
+    frames: jnp.ndarray,
+    poses: jnp.ndarray,
+    voxel_size,
+) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Fuse a registered scan sequence into one downsampled map.
+
+    Transforms every frame into frame-0 coordinates by its pose (one
+    batched einsum), concatenates, and voxel-downsamples — the standard
+    map-building epilogue of the odometry → loop-closure → pose-graph
+    pipeline. Returns ``(points [T*N, 3], valid [T*N] bool)`` in the
+    framework's static-shape padded-cloud convention
+    (``ops/grid.py::voxel_downsample``).
+
+    Args:
+      frames: ``[T, N, 3]`` scan sequence (the odometry input).
+      poses: ``[T, 4, 4]`` frame→frame-0 poses (``OdometryResult.poses``
+        or the pose-graph-optimized ``PoseGraphResult.poses``).
+      voxel_size: map resolution.
+    """
+    from ..ops.grid import voxel_downsample
+
+    R = poses[:, :3, :3].astype(jnp.float32)
+    t = poses[:, :3, 3].astype(jnp.float32)
+    world = jnp.einsum("tab,tnb->tna", R, frames.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
+    flat = world.reshape(-1, 3)
+    return voxel_downsample(flat, voxel_size)

@@ -44,3 +44,34 @@ def test_register_sequence_validates_shape():
 
     with pytest.raises(ValueError):
         f.register_sequence(jnp.zeros((1, 8, 3)))
+
+
+def test_build_map_fuses_frames():
+    """Map fusion: frames transformed by GT poses fuse back into the
+    original world — the map's chamfer distance to the world cloud is at
+    the voxel-quantization scale, and duplicate coverage deduplicates."""
+    import numpy as np
+
+    from fpcr_tpu.models.pose_graph import se3_exp
+
+    rng = np.random.default_rng(0)
+    world = np.asarray(f.synthetic_scene(width=24).source)  # 576 pts
+    T = 4
+    frames, poses = [], []
+    M = np.eye(4, dtype=np.float32)
+    for t in range(T):
+        if t:
+            step = np.asarray(se3_exp(jnp.asarray(np.concatenate([
+                0.05 * rng.standard_normal(3),
+                0.03 * rng.standard_normal(3)]).astype(np.float32))))
+            M = (M @ step).astype(np.float32)
+        poses.append(M)
+        R, tt = M[:3, :3], M[:3, 3]
+        frames.append(((world - tt) @ R).astype(np.float32))
+    pts, valid = f.build_map(jnp.stack([jnp.asarray(fr) for fr in frames]),
+                             jnp.asarray(np.stack(poses)), voxel_size=0.05)
+    got = np.asarray(pts)[np.asarray(valid)]
+    # T perfectly-posed copies of the same world dedupe to ~|world| voxels
+    assert got.shape[0] < 1.5 * world.shape[0]
+    d = ((got[:, None, :] - world[None, :, :]) ** 2).sum(-1)
+    assert float(np.sqrt(d.min(1).max())) < 0.05  # within one voxel
