@@ -1,8 +1,11 @@
 """One front door: ``fpcr_tpu.register(source, target, method=...)``.
 
-The reference exposes ~20 per-variant ``main()``s; this framework's
-variants are config-driven, and this module gives them a single uniform
-entry point for users who just want a registration:
+The reference exposes ~20 per-variant ``main()``s (one executable per
+configuration — /root/reference/src/CUDA/ICP_point_to_point_clean.cu,
+ICP_point_to_plane_clean.cu, GPU_point_to_plane_real.cu, the
+*_time_complexity_* sweeps, etc.; SURVEY.md §2.2 program inventory);
+this framework's variants are config-driven, and this module gives them
+a single uniform entry point for users who just want a registration:
 
     register(src, tgt)                        # exact ICP
     register(src, tgt, method="plane")        # point-to-plane

@@ -23,7 +23,10 @@ The [θ, t] covariance converts to the pose-graph's ``[ρ, w]`` tangent
 ordering with :func:`information_from_covariance`, giving ``close_loops``
 per-edge 6×6 information matrices instead of scalar weights — edges from
 well-constrained registrations pull harder, sloppy ones less, axis by
-axis. The CUDA reference has no uncertainty story.
+axis. The CUDA reference has no uncertainty story (its result is the
+bare printf'd transform, /root/reference/src/CUDA/
+ICP_point_to_point_clean.cu:458-465); this is beyond-reference
+capability built on the same J/H machinery as ``ops/solve.py``.
 """
 
 from __future__ import annotations
