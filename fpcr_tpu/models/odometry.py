@@ -78,6 +78,7 @@ def build_map(
     frames: jnp.ndarray,
     poses: jnp.ndarray,
     voxel_size,
+    masks: "jnp.ndarray | None" = None,
 ) -> "tuple[jnp.ndarray, jnp.ndarray]":
     """Fuse a registered scan sequence into one downsampled map.
 
@@ -93,7 +94,20 @@ def build_map(
       poses: ``[T, 4, 4]`` frame→frame-0 poses (``OdometryResult.poses``
         or the pose-graph-optimized ``PoseGraphResult.poses``).
       voxel_size: map resolution.
+      masks: optional ``[T, N]`` validity masks for padded frames —
+        pad rows must not fuse into the map as phantom geometry.
     """
+    if frames.ndim != 3 or frames.shape[-1] != 3:
+        raise ValueError(f"frames must be [T, N, 3], got {frames.shape}")
+    if poses.ndim != 3 or poses.shape[1:] != (4, 4) or \
+            poses.shape[0] != frames.shape[0]:
+        raise ValueError(
+            f"poses must be [T={frames.shape[0]}, 4, 4], got {poses.shape}")
+    return _build_map(frames, poses, jnp.float32(voxel_size), masks)
+
+
+@jax.jit
+def _build_map(frames, poses, voxel_size, masks):
     from ..ops.grid import voxel_downsample
 
     R = poses[:, :3, :3].astype(jnp.float32)
@@ -101,4 +115,5 @@ def build_map(
     world = jnp.einsum("tab,tnb->tna", R, frames.astype(jnp.float32),
                        precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     flat = world.reshape(-1, 3)
-    return voxel_downsample(flat, voxel_size)
+    flat_mask = None if masks is None else masks.reshape(-1)
+    return voxel_downsample(flat, voxel_size, flat_mask)

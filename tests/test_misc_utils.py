@@ -56,14 +56,23 @@ def test_import_does_not_initialize_backend():
     processes call jax.distributed.initialize() AFTER importing the
     library, which raises if an import-time jnp constant already
     initialized a backend (regression: ops/ndt.py's _KEY_PAD)."""
+    import os
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run([sys.executable, "-c", (
         "import fpcr_tpu\n"
-        "from jax._src import xla_bridge\n"
-        "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+        # _backends is a private JAX internal; if a future JAX moves it,
+        # report SKIP rather than a phantom regression
+        "try:\n"
+        "    from jax._src import xla_bridge\n"
+        "    backends = xla_bridge._backends\n"
+        "except (ImportError, AttributeError):\n"
+        "    print('SKIP-INTERNAL'); raise SystemExit(0)\n"
+        "assert not backends, list(backends)\n"
         "print('CLEAN')")], capture_output=True, text=True, timeout=300,
-        cwd="/root/repo")
-    assert out.returncode == 0 and "CLEAN" in out.stdout, (
+        cwd=repo)
+    assert out.returncode == 0 and (
+        "CLEAN" in out.stdout or "SKIP-INTERNAL" in out.stdout), (
         out.stdout + out.stderr)

@@ -75,3 +75,26 @@ def test_build_map_fuses_frames():
     assert got.shape[0] < 1.5 * world.shape[0]
     d = ((got[:, None, :] - world[None, :, :]) ** 2).sum(-1)
     assert float(np.sqrt(d.min(1).max())) < 0.05  # within one voxel
+
+
+def test_build_map_masked_and_validated():
+    """Pad rows must not fuse into the map; bad shapes raise clearly."""
+    import numpy as np
+
+    world = np.asarray(f.synthetic_scene(width=16).source)  # 256 pts
+    frames = jnp.stack([jnp.asarray(world), jnp.asarray(world)])
+    poses = jnp.stack([jnp.eye(4), jnp.eye(4)])
+    # frame 1's second half is padding at a junk location
+    junk = np.array(frames)  # writable copy
+    junk[1, 128:] = 77.0
+    masks = jnp.asarray(np.stack([np.ones(256, bool),
+                                  np.r_[np.ones(128, bool),
+                                        np.zeros(128, bool)]]))
+    pts, valid = f.build_map(jnp.asarray(junk), poses, 0.05, masks)
+    got = np.asarray(pts)[np.asarray(valid)]
+    assert float(np.abs(got).max()) < 10.0  # no phantom voxels at 77
+    import pytest as _pt
+    with _pt.raises(ValueError, match="poses must be"):
+        f.build_map(frames, poses[:1], 0.05)
+    with _pt.raises(ValueError, match="frames must be"):
+        f.build_map(frames[0], poses, 0.05)
