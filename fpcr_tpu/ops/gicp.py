@@ -218,6 +218,10 @@ def gicp_solve_update(
     H = H + floor * jnp.eye(6, dtype=H.dtype)
     chol, lower = jax.scipy.linalg.cho_factor(H)
     x = jax.scipy.linalg.cho_solve((chol, lower), -g)
+    # degenerate-geometry guard (fuzz-found: 1-D line clouds make every
+    # normal pair parallel, H indefinite despite the floor): a failed
+    # factorization yields an identity update, never a NaN-poisoned loop
+    x = jnp.where(jnp.isfinite(x).all(), x, jnp.zeros_like(x))
     R = rotation_exp(x[:3]).astype(H.dtype)
     return RigidTransform(R, x[3:6]), x
 

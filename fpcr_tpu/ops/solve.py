@@ -94,10 +94,18 @@ def rotation_from_svd(W: jnp.ndarray, det_correction: bool = True) -> jnp.ndarra
 def rotation_polar_newton_schulz(W: jnp.ndarray, iterations: int = 16) -> jnp.ndarray:
     """Orthogonal polar factor of W by Newton–Schulz iteration — matmul-only,
     MXU/jit friendly, no SVD custom call. Equals U·Vᵀ (the reference's
-    uncorrected Kabsch rotation) for nonsingular W."""
-    # Scale so all singular values < sqrt(3) (NS convergence region).
+    uncorrected Kabsch rotation) for nonsingular W.
+
+    Degenerate guard (fuzz-found): on rank-deficient W (e.g. a 1-D line
+    cloud — the registration itself is underdetermined there) NS drives
+    the null singular values to 0, leaving a non-orthogonal limit. A
+    relative ridge keeps every singular value positive so the limit is a
+    proper rotation (for well-conditioned W the perturbation is ~1e-6
+    relative, far below f32 solve noise), and a final finite-check falls
+    back to identity rather than poisoning the loop with NaN."""
     norm = jnp.sqrt(jnp.sum(W * W)) + 1e-30
-    X = W / norm
+    # Scale so all singular values < sqrt(3) (NS convergence region).
+    X = W / norm + 1e-6 * jnp.eye(3, dtype=W.dtype)
 
     hi = jax.lax.Precision.HIGHEST
 
@@ -105,7 +113,15 @@ def rotation_polar_newton_schulz(W: jnp.ndarray, iterations: int = 16) -> jnp.nd
         XtX = jnp.matmul(X.T, X, precision=hi)
         return 1.5 * X - 0.5 * jnp.matmul(X, XtX, precision=hi)
 
-    return jax.lax.fori_loop(0, iterations, body, X)
+    R = jax.lax.fori_loop(0, iterations, body, X)
+    # a rank-deficient W leaves null singular values near 0 after 16
+    # NS steps (σ grows ~1.5×/step — the tiny ridge cannot recover them
+    # in time); detect the non-orthogonal limit and fall back to the
+    # identity rather than returning a projection matrix as a "rotation"
+    ortho_err = jnp.max(jnp.abs(
+        jnp.matmul(R, R.T, precision=hi) - jnp.eye(3, dtype=W.dtype)))
+    good = jnp.isfinite(R).all() & (ortho_err < 1e-3)
+    return jnp.where(good, R, jnp.eye(3, dtype=W.dtype))
 
 
 def kabsch_transform(
@@ -226,6 +242,9 @@ def plane_solve_update(
     C = C + floor * jnp.eye(6, dtype=C.dtype)
     chol, lower = jax.scipy.linalg.cho_factor(C)
     x = jax.scipy.linalg.cho_solve((chol, lower), b)
+    # degenerate-geometry guard: identity update instead of NaN poisoning
+    # (same rationale as gicp_solve_update; fuzz-found on 1-D line clouds)
+    x = jnp.where(jnp.isfinite(x).all(), x, jnp.zeros_like(x))
     R = rotation_zyx(x[0], x[1], x[2]).astype(C.dtype)
     t = x[3:6]
     return RigidTransform(R, t), x

@@ -140,3 +140,27 @@ def test_plane_solve_update_damping_identity():
     tr, x = plane_solve_update(C, b, damping=0.1)
     np.testing.assert_allclose(np.asarray(x), np.zeros(6), atol=1e-7)
     np.testing.assert_allclose(np.asarray(tr.rotation), np.eye(3), atol=1e-7)
+
+
+def test_degenerate_line_cloud_never_nans():
+    """Rank-deficient geometry (1-D line cloud): the registration is
+    mathematically underdetermined, but every solver/metric combination
+    must return a FINITE orthogonal transform (identity update on solve
+    failure), never NaN-poison the loop (fuzz-found round 2)."""
+    import fpcr_tpu as f
+    from fpcr_tpu.utils.diagnostics import validate_result
+
+    rng = np.random.default_rng(42)
+    ts = rng.uniform(-1, 1, 800)
+    src = np.stack([ts, 2 * ts, -ts], 1) + rng.normal(scale=1e-4,
+                                                      size=(800, 3))
+    src = jnp.asarray(src.astype(np.float32))
+    gt = f.gt_transform((0.02, -0.01, 0.01), (0.02, -0.01, 0.02))
+    tgt = gt.apply(src)
+    for metric in ("point", "plane", "symmetric", "gicp"):
+        for solver in ("svd", "polar"):
+            res = f.run_icp(src, tgt, f.ICPConfig(
+                metric=metric, solver=solver, max_iterations=8))
+            # raises RegistrationError on non-finite / reflection
+            issues = validate_result(res, context=f"{metric}/{solver}")
+            assert all("non-finite" not in i for i in issues), issues
