@@ -120,7 +120,17 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
         # at ~1e-2 error (hardware-measured — same failure mode as the
         # GICP normals rotation, see BENCH_NOTES)
         x = jnp.einsum("ni,ji->nj", source, R, precision=prec) + t
-        sk = _skew_cols(x)  # [N,3,3] = [x]× =: K
+        # Linearize the GN step about the source centroid, not the origin:
+        # with absolute coordinates the rotation block of H scales as |x|²
+        # and goes indefinite in f32 at typical global-frame LiDAR offsets
+        # (|x|~500). The lever arm y = x − c is bounded by the cloud
+        # extent; the pose update below is re-anchored to match.
+        w_c = (source_mask.astype(jnp.float32) if source_mask is not None
+               else jnp.ones((x.shape[0],), jnp.float32))
+        c = (_psum(jnp.einsum("n,ni->i", w_c, x, precision=prec))
+             / jnp.maximum(_psum(jnp.sum(w_c)), 1.0))
+        y = x - c
+        sk = _skew_cols(y)  # [N,3,3] = [y]× =: K
 
         H = jnp.zeros((6, 6), jnp.float32)
         g = jnp.zeros((6,), jnp.float32)
@@ -141,9 +151,9 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
             w = jnp.where(hit, w, 0.0)
             any_hit = any_hit | hit
 
-            # Jᵀ S r: t-block = S r, θ-block = Kᵀᵀ... = x × (S r)
+            # Jᵀ S r: t-block = S r, θ-block = (−K)ᵀ S r = y × (S r)
             g_t = jnp.einsum("n,ni->i", w, sr, precision=prec)
-            g_th = jnp.einsum("n,ni->i", w, jnp.cross(x, sr),
+            g_th = jnp.einsum("n,ni->i", w, jnp.cross(y, sr),
                               precision=prec)
             # H blocks (6×6 symmetric), J = [I | −K], Kᵀ = −K:
             #   A = Σ w S                       (t,t)
@@ -170,10 +180,17 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
         chol, lower = jax.scipy.linalg.cho_factor(Hd)
         delta = -config.step_scale * jax.scipy.linalg.cho_solve(
             (chol, lower), g)
+        # never-NaN contract (same guard as gicp/plane_solve_update): a
+        # non-finite Cholesky holds the pose (identity update) and reports
+        # non-convergence via delta_norm=inf instead of poisoning it
+        finite = jnp.isfinite(delta).all()
+        delta = jnp.where(finite, delta, 0.0)
 
+        # centroid-anchored update: x_new = R_inc (x − c) + c + δt
         R_inc = rotation_exp(delta[3:6])
         R_new = jnp.matmul(R_inc, R, precision=prec)
-        t_new = jnp.matmul(R_inc, t, precision=prec) + delta[0:3]
+        t_new = (jnp.matmul(R_inc, t - c, precision=prec) + c
+                 + delta[0:3])
 
         err = err_num / jnp.maximum(err_den, 1.0)
         err_hist = err_hist.at[it].set(err)
@@ -182,8 +199,13 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
                    else jnp.float32(x.shape[0]))
         frac = (_psum(jnp.sum(any_hit.astype(jnp.float32)))
                 / jnp.maximum(_psum(n_valid), 1.0))
+        # scale-relative step norm: at coordinate magnitude |c| the f32
+        # representable floor of the pose is ~|c|·eps per op, so an
+        # absolute |δ| < tol test can never fire far from the origin —
+        # normalize by (1 + |c|) to make the tolerance scale-free
+        dn = jnp.linalg.norm(delta) / (1.0 + jnp.linalg.norm(c))
         return (R_new, t_new, it + 1, err_hist,
-                jnp.linalg.norm(delta), frac)
+                jnp.where(finite, dn, jnp.inf), frac)
 
     def cond(state):
         _, _, it, _, delta_norm, _ = state
@@ -220,12 +242,21 @@ def run_ndt(
     """
     config = config or NDTConfig()
     src = source.astype(jnp.float32)
-    if config.voxel_size is None:
-        if grid is not None:
-            config = dataclasses.replace(
-                config, voxel_size=float(grid.voxel_size))
-        else:
-            config = resolve_voxel_size(config, target)
+    if grid is not None:
+        # the grid's resolution is authoritative: the Magnusson d1/d2
+        # constants and the direct7 neighborhood stepping must use the SAME
+        # size the lookups quantize with, so a differing explicit
+        # config.voxel_size is an error, not a silent override
+        gvs = float(grid.voxel_size)
+        if (config.voxel_size is not None
+                and abs(config.voxel_size - gvs) > 1e-6 * max(gvs, 1.0)):
+            raise ValueError(
+                f"config.voxel_size={config.voxel_size} disagrees with the "
+                f"prebuilt grid's voxel_size={gvs}; pass voxel_size=None "
+                "(it is taken from the grid) or rebuild the grid")
+        config = dataclasses.replace(config, voxel_size=gvs)
+    elif config.voxel_size is None:
+        config = resolve_voxel_size(config, target)
     if grid is None:
         grid = build_ndt_grid(target, config.voxel_size, target_mask,
                               min_points=config.min_points,

@@ -260,6 +260,12 @@ def optimize_pose_graph(
         Hf = Hf + jnp.diag(diag) + 1e-8 * jnp.eye(6 * T)
         delta = -jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(Hf), g.reshape(6 * T))
+        # never-NaN solver contract (same guard as gicp_solve_update): the
+        # anchor/damping spread puts Hf at >=1e12 condition in f32, and a
+        # pose disconnected from every edge (or a NaN measurement) can make
+        # the Cholesky non-finite — hold the trajectory instead of
+        # poisoning it
+        delta = jnp.where(jnp.isfinite(delta).all(), delta, 0.0)
         delta = delta.reshape(T, 6)
 
         X_new = jax.vmap(

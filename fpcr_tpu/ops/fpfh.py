@@ -97,9 +97,11 @@ def fpfh_features(
     if m > banded_threshold:
         from .morton import knn_morton
 
-        # monotonic clamp: the banded search wants small chunks
+        # monotonic clamp at 1024, matching estimate_normals: smaller
+        # chunks (256) halve the Morton seam coverage on >100k clouds
+        # (the banded window extends half a chunk each side)
         idx_all, sqd_all = knn_morton(points, k + 1, mask,
-                                      chunk=min(chunk, 256))
+                                      chunk=min(chunk, 1024))
     else:
         idx_all, sqd_all = knn(points, points, k + 1, mask,
                                chunk=chunk, tile=tile)

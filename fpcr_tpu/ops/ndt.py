@@ -134,9 +134,16 @@ def build_ndt_grid(
                          changed.astype(jnp.int32)])) - 1  # [N] in 0..K-1
 
     counts = jax.ops.segment_sum(w_s, seg_id, num_segments=n)  # [N]
-    sums = jax.ops.segment_sum(pts_s * w_s[:, None], seg_id, num_segments=n)
-    # second moments: 6 unique entries of x x^T per point, summed per voxel
-    xx = pts_s[:, :, None] * pts_s[:, None, :] * w_s[:, None, None]
+    # Accumulate about the grid origin ``lo``: E[xx^T] - mu mu^T on ABSOLUTE
+    # coordinates catastrophically cancels in f32 (at |x|~500 the two terms
+    # agree to ~6 digits and the voxel-scale difference is pure rounding —
+    # measured ~97% error in sinv). Local coordinates are bounded by the
+    # cloud extent, so the subtraction keeps full precision; ``lo`` is added
+    # back to the means only.
+    loc_s = pts_s - lo
+    sums = jax.ops.segment_sum(loc_s * w_s[:, None], seg_id, num_segments=n)
+    # second moments of the LOCAL coordinates, summed per voxel
+    xx = loc_s[:, :, None] * loc_s[:, None, :] * w_s[:, None, None]
     moments = jax.ops.segment_sum(
         xx.reshape(n, 9), seg_id, num_segments=n).reshape(n, 3, 3)
     # the key of each segment (rows of a segment share it); empty segments
@@ -144,8 +151,10 @@ def build_ndt_grid(
     seg_keys = jax.ops.segment_max(keys_s, seg_id, num_segments=n)
 
     c_safe = jnp.maximum(counts, 1.0)
-    mu = sums / c_safe[:, None]
-    cov = moments / c_safe[:, None, None] - mu[:, None, :] * mu[:, :, None]
+    mu_loc = sums / c_safe[:, None]
+    cov = (moments / c_safe[:, None, None]
+           - mu_loc[:, None, :] * mu_loc[:, :, None])
+    mu = mu_loc + jnp.where(jnp.isfinite(lo), lo, 0.0)
     # empty segments (beyond K) carry segment_max's int32 min — rewrite to
     # the pad key so the table stays ascending (real keys < 2^30 < pad)
     seg_keys = jnp.where((seg_keys >= 0) & (counts > 0), seg_keys, _KEY_PAD)

@@ -177,6 +177,62 @@ def test_disjoint_clouds_not_converged():
     assert not bool(res.converged)
 
 
+@pytest.mark.parametrize("offset", [0.0, 50.0, 500.0])
+def test_ndt_far_from_origin(offset):
+    """Global-frame coordinates (advisor finding r2): the identical local
+    scene must register equally well at |x|~500 as at the origin. Before
+    the fix, E[xx^T]-mu mu^T cancellation corrupted sinv (~97% error at
+    +500) and the origin-anchored GN rotation block went indefinite in
+    f32, NaN-poisoning the pose."""
+    scene = f.synthetic_scene(width=48)
+    src = scene.source + jnp.float32(offset)
+    # identical LOCAL problem at every offset: rotate about the cloud
+    # center, not the world origin (an origin-anchored rotation at +500
+    # would displace the cloud by |dtheta|*500 ~ 13 units — a different,
+    # unsolvable problem, not a conditioning probe)
+    center = jnp.mean(src, axis=0)
+    gt_local = f.gt_transform((0.02, -0.015, 0.01), (0.03, -0.02, 0.015))
+    tgt = gt_local.apply(src - center) + center
+    res = run_ndt(src, tgt, NDTConfig(voxel_size=0.4, max_iterations=60))
+    assert bool(jnp.isfinite(res.transform.translation).all())
+    assert bool(res.converged)
+    # compare recovered vs GT action on the actual points
+    err = float(jnp.sqrt(jnp.mean(jnp.sum(
+        (res.transform.apply(src) - tgt) ** 2, axis=1))))
+    assert err < 5e-3, f"offset {offset}: {err}"
+
+
+def test_ndt_grid_covariance_far_from_origin():
+    """Voxel sinv at a +500 offset must match the origin's (advisor
+    finding r2: f32 second-moment cancellation)."""
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 1.0, (4000, 3)).astype(np.float32)
+    g0 = build_ndt_grid(jnp.asarray(pts), 0.25)
+    g5 = build_ndt_grid(jnp.asarray(pts + np.float32(500.0)), 0.25)
+    v0 = np.asarray(g0.valid)
+    v5 = np.asarray(g5.valid)
+    assert v0.sum() == v5.sum()
+    s0 = np.asarray(g0.sinv)[v0]
+    s5 = np.asarray(g5.sinv)[v5]
+    # same voxel order (keys sort identically for a pure translation)
+    np.testing.assert_allclose(s5, s0, rtol=0.05,
+                               atol=1e-3 * np.abs(s0).max())
+
+
+def test_run_ndt_grid_voxel_size_mismatch_raises():
+    """Passing a prebuilt grid plus a DIFFERING explicit voxel_size is an
+    error (advisor finding r2: silent d1/d2 vs lookup mismatch)."""
+    scene = f.synthetic_scene(width=24)
+    grid = f.build_ndt_grid(scene.source, 0.5)
+    with pytest.raises(ValueError, match="voxel_size"):
+        run_ndt(scene.source, scene.source,
+                NDTConfig(voxel_size=0.3), grid=grid)
+    # matching explicit size is fine
+    res = run_ndt(scene.source, scene.source,
+                  NDTConfig(voxel_size=0.5, max_iterations=5), grid=grid)
+    assert bool(jnp.isfinite(res.errors[0]))
+
+
 def test_register_ndt_hall_scan():
     """Real LiDAR: NDT init + plane ICP refine on the Ouster hall scan
     recovers the GT transform (auto voxel sizing from real spacing)."""

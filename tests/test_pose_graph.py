@@ -205,3 +205,18 @@ def test_detect_loop_closures_none_found():
     ei, ej, Z, w = detect_loop_closures(base, odo, radius=1e-12,
                                         min_separation=2)
     assert ei.shape[0] == 0 and Z.shape == (0, 4, 4)
+
+
+def test_nan_measurement_does_not_poison_trajectory():
+    """Never-NaN solver contract (advisor finding r2): a NaN edge
+    measurement must hold the trajectory (identity update), not NaN every
+    pose through the global Cholesky."""
+    rng = np.random.default_rng(13)
+    gt, meas, poses0 = _make_chain(rng, 8, noise=0.01)
+    ei = jnp.arange(7, dtype=jnp.int32)
+    ej = jnp.arange(1, 8, dtype=jnp.int32)
+    meas = meas.at[3].set(jnp.full((4, 4), jnp.nan))
+    res = optimize_pose_graph(poses0, ei, ej, meas, iterations=4)
+    assert bool(jnp.isfinite(res.poses).all())
+    np.testing.assert_allclose(np.asarray(res.poses),
+                               np.asarray(poses0), atol=1e-6)
