@@ -437,6 +437,7 @@ def _run_icp(
     target_normals: Optional[jnp.ndarray],
     axis_name: Optional[str],
     source_normals: Optional[jnp.ndarray] = None,
+    matcher_state=None,
 ) -> ICPResult:
     max_iter = config.max_iterations
     tol = jnp.float32(config.tolerance)
@@ -458,8 +459,12 @@ def _run_icp(
             banded_threshold=config.normals_banded_threshold,
         )
 
-    matcher_state = build_matcher_state(target, target_mask, config,
-                                        target_normals=target_normals)
+    if matcher_state is None:
+        # per-call default; the distributed driver builds this ONCE on the
+        # replicated target outside shard_map and passes it in (otherwise
+        # every shard would redo the O(M log M) table sort)
+        matcher_state = build_matcher_state(target, target_mask, config,
+                                            target_normals=target_normals)
 
     source = source.astype(jnp.float32)
     unsort = None

@@ -107,7 +107,18 @@ def distributed_icp(
     has_normals = target_normals is not None
     has_tmask = target_mask is not None
 
-    def shard_fn(src, snorm, smask, tgt, tnorm, tmask):
+    # Build the matcher tables (Morton sort / voxel hash) ONCE on the
+    # replicated target and pass them into shard_map replicated — inside
+    # shard_fn every shard would redo the identical O(M log M) sort.
+    from ..models.icp import build_matcher_state
+
+    matcher_state = (build_matcher_state(
+        target.astype(jnp.float32), target_mask, config,
+        target_normals=target_normals)
+        if config.matcher in ("grid", "morton") else ())
+    ms_specs = jax.tree_util.tree_map(lambda _: P(), matcher_state)
+
+    def shard_fn(src, snorm, smask, tgt, tnorm, tmask, mstate):
         return _run_icp(
             src, tgt, config,
             source_mask=smask,
@@ -116,6 +127,8 @@ def distributed_icp(
             axis_name=AXIS,
             source_normals=(snorm if config.metric in ("symmetric", "gicp")
                             else None),
+            matcher_state=(mstate if config.matcher in ("grid", "morton")
+                           else None),
         )
 
     in_specs = (
@@ -123,8 +136,9 @@ def distributed_icp(
         P(AXIS, None),  # source normals shard (dummy when not symmetric)
         P(AXIS),        # source mask shard
         P(),            # target replicated
-        P() if has_normals else P(),
-        P() if has_tmask else P(),
+        P(),            # target normals (dummy [1,3] when absent)
+        P(),            # target mask (dummy [1] when absent)
+        ms_specs,       # matcher tables, replicated
     )
     from ..core.transforms import RigidTransform
 
@@ -155,7 +169,8 @@ def distributed_icp(
     snorm_in = (source_normals if source_normals is not None
                 else jnp.zeros_like(source_p))
     result = jax.jit(fn)(source_p, snorm_in, source_mask,
-                         target.astype(jnp.float32), tnorm_in, tmask_in)
+                         target.astype(jnp.float32), tnorm_in, tmask_in,
+                         matcher_state)
     return result._replace(points=result.points[:n])
 
 
