@@ -33,6 +33,7 @@ from .models.icp import (
     icp_point_to_plane,
     icp_point_to_point,
     run_icp,
+    tune_morton,
 )
 from .models.history import (
     ICPHistory,
@@ -130,6 +131,7 @@ __all__ = [
     "icp_point_to_plane",
     "icp_point_to_point",
     "run_icp",
+    "tune_morton",
     "nn_argmin",
     "gather_correspondences",
     "pairwise_sqdist",

@@ -97,6 +97,14 @@ class ICPConfig:
     # 2 = also query a half-cell-shifted second curve and keep the closer
     # match (covers Morton seam misses; ~2x matching cost)
     morton_shifts: int = 1
+    # exact-rescue escalation for seam-heavy geometry: per iteration, the
+    # `morton_rescue` source rows with the LARGEST banded match distance
+    # are re-matched exactly against the full target (streaming MXU argmin,
+    # cost ~ rescue/N of a brute match). 0 = off. Size it with
+    # ``tune_morton`` (probe-driven) instead of guessing: on the
+    # adversarial crossing-walls cloud, dual-shift + rescue of ~1.5x the
+    # probed miss count removes ALL damaging misses (BENCH_NOTES r3).
+    morton_rescue: int = 0
 
     def __post_init__(self):
         if self.metric not in ("point", "plane", "symmetric", "gicp"):
@@ -109,6 +117,8 @@ class ICPConfig:
             raise ValueError(f"unknown robust_loss {self.robust_loss!r}")
         if self.pallas_mode not in ("packed6", "highest"):
             raise ValueError(f"unknown pallas_mode {self.pallas_mode!r}")
+        if self.morton_rescue < 0:
+            raise ValueError("morton_rescue must be >= 0")
         if not (0.0 < self.gicp_epsilon <= 1.0):
             # epsilon = 0 makes the summed covariance exactly singular for
             # parallel matched normals (the convergence regime) — the
@@ -215,8 +225,46 @@ def build_matcher_state(target, target_mask, config: ICPConfig,
     return None
 
 
+def _exact_rescue(points, target, target_mask, target_normals,
+                  q_m, n_m, dmin, config: ICPConfig, source_mask):
+    """Re-match the ``config.morton_rescue`` WORST rows (by banded match
+    distance) exactly against the full target, and keep whichever match is
+    closer. Seam misses on adversarial geometry (e.g. crossing walls whose
+    intersection sits on the curve's top-bit boundary) have unbounded
+    banded distance, so the damaging rows separate cleanly by dmin —
+    measured on the crossing-walls cloud: dual-shift + rescue 1.5x the
+    probed miss count leaves ZERO misses with excess > 1e-4 (BENCH_NOTES
+    r3). Static shapes throughout: one top_k, K-row streaming argmin,
+    K-row scatter."""
+    k = min(config.morton_rescue, points.shape[0])
+    if k <= 0:
+        return q_m, n_m, dmin
+    score = dmin
+    if source_mask is not None:
+        # padded rows must not consume rescue slots
+        score = jnp.where(source_mask, score, -jnp.inf)
+    _, sel = lax.top_k(score, k)  # worst k rows
+    p_sel = jnp.take(points, sel, axis=0)
+    idx_e, d_e = nn_argmin(
+        p_sel, target, target_mask,
+        source_chunk=min(config.source_chunk, max(k, 8)),
+        target_tile=config.target_tile,
+        exact=config.exact_distances,
+    )
+    better = d_e < jnp.take(dmin, sel)
+    q_e = gather_correspondences(target, idx_e)
+    q_old = jnp.take(q_m, sel, axis=0)
+    q_m = q_m.at[sel].set(jnp.where(better[:, None], q_e, q_old))
+    dmin = dmin.at[sel].set(jnp.where(better, d_e, jnp.take(dmin, sel)))
+    if n_m is not None and target_normals is not None:
+        n_e = gather_correspondences(target_normals, idx_e)
+        n_old = jnp.take(n_m, sel, axis=0)
+        n_m = n_m.at[sel].set(jnp.where(better[:, None], n_e, n_old))
+    return q_m, n_m, dmin
+
+
 def _correspondences(points, target, target_mask, target_normals,
-                     config: ICPConfig, matcher_state):
+                     config: ICPConfig, matcher_state, source_mask=None):
     """Find correspondences: returns (q_matched, n_matched, dmin, found).
 
     For matcher='morton' the matched points/normals come straight from the
@@ -250,6 +298,10 @@ def _correspondences(points, target, target_mask, target_normals,
                 if n_m is not None:
                     n_m = jnp.where(better, n_c, n_m)
                 dmin = jnp.minimum(d_c, dmin)
+        if config.morton_rescue > 0:
+            q_m, n_m, dmin = _exact_rescue(
+                points, target, target_mask, target_normals,
+                q_m, n_m, dmin, config, source_mask)
         return q_m, n_m, dmin, None
     idx, dmin, found = _match(points, target, target_mask, config,
                               matcher_state)
@@ -376,7 +428,8 @@ def icp_iteration(
     for ``metric='symmetric'`` and ``metric='gicp'`` only.
     """
     q_matched, n_matched, dmin, found = _correspondences(
-        points, target, target_mask, target_normals, config, matcher_state)
+        points, target, target_mask, target_normals, config, matcher_state,
+        source_mask=source_mask)
 
     mask = correspondence_weights(dmin, found, config, source_mask, axis_name)
     aux = IterationAux(matched_fraction=_matched_fraction(
@@ -570,6 +623,100 @@ def run_icp(
         source, target, config, source_mask, target_mask, target_normals,
         axis_name, source_normals,
     )
+
+
+def tune_morton(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    config: Optional[ICPConfig] = None,
+    *,
+    target_miss: float = 0.02,
+    sample: int = 2048,
+    target_mask: Optional[jnp.ndarray] = None,
+) -> ICPConfig:
+    """Probe-driven Morton quality tuning: returns a config whose banded
+    matcher misses fewer than ``target_miss`` of true nearest neighbors on
+    THIS cloud pair (measured, not guessed).
+
+    Escalation ladder, each step validated by re-probing a strided sample
+    against the exact streaming argmin:
+
+    1. the config as given (most clouds already pass — uniform geometry
+       probes ~0.2% at the default window);
+    2. ``morton_shifts=2`` (half-cell-shifted second curve — covers
+       fine-scale seams, ~2x matching cost);
+    3. ``morton_rescue=K`` exact re-match of the K worst rows per
+       iteration, K sized to cover every probed miss by its banded
+       distance (damaging misses have unbounded distance, so they
+       separate cleanly — BENCH_NOTES r3 'Morton window quality probe').
+
+    Use before ``run_icp`` on seam-heavy geometry (thin crossing
+    structures, wide displacement); the adversarial crossing-walls cloud
+    lands at <2%/zero damaging misses with dual-shift + rescue where
+    window widening alone plateaus at ~7.5% (the walls' intersection sits
+    on the curve's top-bit boundary, which no window reaches across).
+    """
+    import math
+
+    import numpy as np
+
+    config = config or ICPConfig(matcher="morton")
+    if config.matcher != "morton":
+        config = dataclasses.replace(config, matcher="morton")
+    src = source.astype(jnp.float32)
+    tgt = target.astype(jnp.float32)
+
+    def probe(cfg):
+        state = build_matcher_state(tgt, target_mask, cfg)
+        from ..ops.morton import source_morton_order
+
+        order = source_morton_order(src, state[0][0])
+        p = jnp.take(src, order, axis=0)
+        _, _, dmin, _ = _correspondences(
+            p, tgt, target_mask, None,
+            dataclasses.replace(cfg, morton_rescue=0), state)
+        stride = max(1, p.shape[0] // sample)
+        rows = jnp.arange(0, p.shape[0], stride)[:sample]
+        _, d_e = nn_argmin(jnp.take(p, rows, axis=0), tgt, target_mask)
+        d_b = jnp.take(dmin, rows)
+        # a miss must beat both a relative and an absolute floor — the
+        # banded and exact paths disagree by ~3e-7 absolute f32 noise
+        excess = np.asarray(d_b - d_e)
+        d_e_np = np.asarray(d_e)
+        miss = excess > np.maximum(1e-6, 1e-4 * d_e_np)
+        damaging = excess > 1e-4
+        miss_rate = float(miss.mean())
+        # rescue K sizing: EVERY damaging miss must be covered by its
+        # banded distance; mild misses only down to the residual target
+        # (half of target_miss) — otherwise one near-tie mild miss with a
+        # tiny distance collapses the threshold and K degenerates to N
+        d_b_np = np.asarray(d_b)
+        thresh = np.inf
+        if damaging.any():
+            thresh = float(d_b_np[damaging].min())
+        mild = miss & ~damaging
+        n_mild = int(mild.sum())
+        allow = int(0.5 * target_miss * miss.shape[0])
+        if n_mild > allow:
+            # cover the (n_mild - allow) largest-distance mild misses
+            md = np.sort(d_b_np[mild])[::-1]
+            thresh = min(thresh, float(md[n_mild - allow - 1]))
+        if np.isfinite(thresh):
+            k_cover = int((np.asarray(dmin) >= thresh).sum())
+        else:
+            k_cover = 0
+        return miss_rate, k_cover
+
+    miss0, _ = probe(config)
+    if miss0 <= target_miss:
+        return config
+    cfg2 = dataclasses.replace(config,
+                               morton_shifts=max(config.morton_shifts, 2))
+    miss2, k2 = probe(cfg2)
+    if miss2 <= target_miss:
+        return cfg2
+    k = min(int(math.ceil(1.25 * max(k2, 1) / 256.0)) * 256, src.shape[0])
+    return dataclasses.replace(cfg2, morton_rescue=k)
 
 
 def _metric_wrapper(metric, source, target, kwargs) -> ICPResult:
