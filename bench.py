@@ -137,6 +137,31 @@ def main() -> None:
         except Exception:
             morton_ms = None
 
+    # the reference's headline has BOTH metrics; the driver captures this
+    # record, so the plane number must be in it (VERDICT r2 #3), not only
+    # in bench_results/. Timed with the same slope method.
+    plane_ms = None
+    plane_err = None
+    if args.metric == "point":
+        try:
+            def make_plane(iters):
+                cfg = f.ICPConfig(metric="plane", max_iterations=iters,
+                                  tolerance=0.0, matcher=args.matcher,
+                                  morton_window=128)
+                def run(s, t):
+                    return f.run_icp(s, t, cfg)
+                jax.block_until_ready(run(source, target).errors)
+                return run
+            p_lo = _timed_run(make_plane(args.lo), source, target, eps, 3)
+            p_hi = _timed_run(make_plane(args.hi), source, target, eps, 3)
+            plane_ms = (p_hi - p_lo) * 1e3 / (args.hi - args.lo)
+            if plane_ms <= 0:
+                plane_ms = p_hi * 1e3 / args.hi
+            plane_err = float(
+                make_plane(args.hi)(source, target).errors[args.hi - 1])
+        except Exception:
+            plane_ms = None
+
     res = run_hi(source, target)
     details = {
         "platform": platform,
@@ -150,6 +175,16 @@ def main() -> None:
         "final_error_hi": float(res.errors[args.hi - 1]),
         "morton_fast_path_ms_per_iter_near_registered": morton_ms,
         "morton_fast_path_final_error": morton_err,
+        "plane_ms_per_iter": (None if plane_ms is None
+                              else round(plane_ms, 4)),
+        "plane_vs_baseline": (None if plane_ms is None else round(
+            plane_ms / BASELINE_PLANE_MS_PER_ITER_16384, 4)),
+        "plane_final_error": plane_err,
+        "plane_baseline": {
+            "ms_per_iter": BASELINE_PLANE_MS_PER_ITER_16384,
+            "hardware": "RTX 2060",
+            "source": "GPU_ICP_point_to_plane_TimeComp.csv row 16384",
+        },
         "baseline": {
             "ms_per_iter": BASELINE_MS_PER_ITER_16384,
             "hardware": "RTX 2060",

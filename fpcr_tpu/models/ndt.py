@@ -53,6 +53,15 @@ class NDTConfig:
     damping: float = 1e-6         # Levenberg diagonal added to H
     step_scale: float = 1.0       # fixed step length on δ (1 = full GN)
     neighborhood: str = "direct7"  # 'direct1' (own voxel) | 'direct7' (+6 faces)
+    # voxel-row fetch strategy: 'gather' (searchsorted + row gather — exact,
+    # but the loop's one random-gather op: 82 ms/iter at 262k, BENCH_NOTES
+    # §NDT r2), 'banded' (Morton-band pattern: contiguous table reads +
+    # one-hot MXU extraction; needs the source sorted by voxel key — the
+    # entry points handle that), 'auto' = banded at >= lookup_threshold pts
+    lookup: str = "auto"
+    lookup_threshold: int = 65536
+    lookup_chunk: int = 512       # source rows per band read
+    lookup_window: int = 512      # table rows each side of the probe rank
 
     def __post_init__(self):
         if self.voxel_size is not None and self.voxel_size <= 0:
@@ -61,6 +70,8 @@ class NDTConfig:
             raise ValueError("outlier_ratio must be in (0, 1)")
         if self.neighborhood not in ("direct1", "direct7"):
             raise ValueError(f"unknown neighborhood {self.neighborhood!r}")
+        if self.lookup not in ("auto", "gather", "banded"):
+            raise ValueError(f"unknown lookup {self.lookup!r}")
 
 
 def resolve_voxel_size(config: NDTConfig, target: jnp.ndarray) -> NDTConfig:
@@ -75,6 +86,15 @@ def resolve_voxel_size(config: NDTConfig, target: jnp.ndarray) -> NDTConfig:
 
     return dataclasses.replace(
         config, voxel_size=float(suggest_cell_size(target, scale=6.0)))
+
+
+def _resolve_lookup(config: NDTConfig, n: int) -> NDTConfig:
+    """Pin ``lookup='auto'`` to a concrete strategy for this cloud size
+    (static under jit). One place, used by every entry point."""
+    if config.lookup != "auto":
+        return config
+    mode = "banded" if n >= config.lookup_threshold else "gather"
+    return dataclasses.replace(config, lookup=mode)
 
 
 class NDTResult(NamedTuple):
@@ -113,6 +133,17 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
     else:
         offsets = [None]
 
+    if config.lookup == "banded":
+        from ..ops.ndt import ndt_lookup_banded
+
+        def lookup_fn(x, g, off):
+            return ndt_lookup_banded(x, g, cell_offset=off,
+                                     chunk=config.lookup_chunk,
+                                     window=config.lookup_window)
+    else:  # 'gather' ('auto' is resolved to a concrete choice upstream)
+        def lookup_fn(x, g, off):
+            return ndt_lookup(x, g, cell_offset=off)
+
     def body(state):
         R, t, it, err_hist, delta_norm, frac = state
         # HIGHEST is mandatory: TPU's default bf16 matmul perturbs the
@@ -141,7 +172,7 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
         # neighborhood contributes its Gaussian (static unrolled loop — no
         # dynamic shapes, just K× the searchsorted+gather)
         for off in offsets:
-            mu, sinv, hit = ndt_lookup(x, grid, cell_offset=off)
+            mu, sinv, hit = lookup_fn(x, grid, off)
             if source_mask is not None:
                 hit = hit & source_mask
             r = x - mu
@@ -261,7 +292,16 @@ def run_ndt(
         grid = build_ndt_grid(target, config.voxel_size, target_mask,
                               min_points=config.min_points,
                               eig_ratio=config.eig_ratio)
-    R, t, it, errs, converged, frac = _ndt_loop(src, grid, config)
+    config = _resolve_lookup(config, src.shape[0])
+    src_run = src
+    if config.lookup == "banded":
+        # band reads need voxel-key-coherent rows; the solve is
+        # permutation-invariant and the returned points are recomputed
+        # from the ORIGINAL order below, so the sort never leaks out
+        from ..ops.ndt import cell_key_order
+
+        src_run = jnp.take(src, cell_key_order(src, grid), axis=0)
+    R, t, it, errs, converged, frac = _ndt_loop(src_run, grid, config)
     tf = RigidTransform(rotation=R, translation=t)
     return NDTResult(transform=tf, errors=errs, num_iterations=it,
                      converged=converged, points=tf.apply(src),

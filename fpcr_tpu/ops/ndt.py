@@ -229,6 +229,130 @@ def ndt_lookup(
     return mu, sinv, hit
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "window", "unroll"))
+def ndt_lookup_banded(
+    points: jnp.ndarray,
+    grid: NDTGrid,
+    cell_offset: Optional[jnp.ndarray] = None,
+    chunk: int = 512,
+    window: int = 512,
+    unroll: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather-free ``ndt_lookup``: contiguous band reads + one-hot matmuls.
+
+    The per-point voxel row fetch is the one random gather in the NDT
+    loop — 82 ms/iteration at 262k points (BENCH_NOTES §NDT r2), the
+    framework's worst-scaling op. This variant applies the Morton-band
+    pattern (ops/morton.py) to the voxel table instead:
+
+    * ``points`` rows must be spatially coherent in VOXEL-KEY order (sort
+      the source once by its cell key in the grid's frame before the loop;
+      rigid iterates stay coherent — same contract as the Morton matcher);
+    * each chunk of ``chunk`` consecutive points locates its key rank in
+      the ascending unique-key table with ONE searchsorted probe (the
+      chunk's middle key), then reads the contiguous table band
+      ``[rank−window, rank+window+chunk)`` with ``dynamic_slice`` — zero
+      random gathers;
+    * per point, the band row with the matching key is selected by an
+      exact equality compare ``[chunk, band]`` (VPU) and extracted with a
+      one-hot × band matmul on the MXU (HIGHEST precision — a default
+      bf16 pass would round the extracted μ/Σ⁻¹, the exact failure mode
+      BENCH_NOTES 'dead ends' records for the matcher's extraction).
+
+    Approximation contract: a key that exists in the table but lies
+    outside the chunk's band reads as a MISS (w=0 in the solve) — same
+    failure semantics as an unoccupied voxel, bounded by the window. Exact
+    agreement with the gather path on coherent inputs is asserted in
+    tests; parity on the production sizes is re-checked on hardware
+    (scripts/tpu_smoke.py).
+    """
+    from ..core.cloud import round_up
+    from jax import lax
+
+    n = points.shape[0]
+    c = _cells_raw(points.astype(jnp.float32), grid.lo, grid.voxel_size)
+    if cell_offset is not None:
+        c = c + jnp.asarray(cell_offset, jnp.int32)[None, :]
+    inb = _in_range(c)
+    k = jnp.where(inb, _pack(jnp.clip(c, 0, (1 << _AXIS_BITS) - 1)),
+                  jnp.int32(-1))  # -1 matches no table key
+
+    n_pad = round_up(n, chunk)
+    k_pad = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(k)
+    m = grid.keys.shape[0]
+    band = chunk + 2 * window
+    m_pad = max(round_up(m, 8), band)
+    keys_t = jnp.full((m_pad,), _KEY_PAD, jnp.int32).at[:m].set(grid.keys)
+    table_t = jnp.zeros((m_pad, 16), jnp.float32).at[:m].set(grid.table)
+
+    num_chunks = n_pad // chunk
+    kc_all = k_pad.reshape(num_chunks, chunk)
+    # per-chunk probe: the chunk's largest valid key is robust to leading
+    # miss rows (k=-1 sorts before every real key)
+    probe = jnp.max(kc_all, axis=1)
+    ranks = jnp.searchsorted(grid.keys, probe).astype(jnp.int32)
+    bases = jnp.clip(ranks - band // 2, 0, m_pad - band)
+
+    def one_chunk(kc, base):
+        bk = lax.dynamic_slice(keys_t, (base,), (band,))
+        bt = lax.dynamic_slice(table_t, (base, jnp.int32(0)), (band, 16))
+        eq = kc[:, None] == bk[None, :]  # at most one True per row
+        hit = jnp.any(eq, axis=1)
+        row = jax.lax.dot_general(
+            eq.astype(jnp.float32), bt,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [chunk, 16] — one-hot extraction, exact in f32
+        return row, hit
+
+    u = unroll
+    while num_chunks % u:
+        u //= 2
+    u = max(u, 1)
+
+    def per_group(args):
+        kcs, bs = args  # [u, chunk], [u]
+        outs = [one_chunk(kcs[i], bs[i]) for i in range(u)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
+
+    rows, hits = lax.map(
+        per_group,
+        (kc_all.reshape(num_chunks // u, u, chunk),
+         bases.reshape(num_chunks // u, u)),
+    )
+    row = rows.reshape(n_pad, 16)[:n]
+    hit = hits.reshape(n_pad)[:n]
+
+    hit = hit & (row[:, 9] > 0.5) & inb
+    mu = row[:, 0:3]
+    s00, s01, s02 = row[:, 3], row[:, 4], row[:, 5]
+    s11, s12, s22 = row[:, 6], row[:, 7], row[:, 8]
+    sinv = jnp.stack([
+        jnp.stack([s00, s01, s02], axis=-1),
+        jnp.stack([s01, s11, s12], axis=-1),
+        jnp.stack([s02, s12, s22], axis=-1),
+    ], axis=-2)
+    sinv = jnp.where(hit[:, None, None], sinv, 0.0)
+    return mu, sinv, hit
+
+
+def cell_key_order(points: jnp.ndarray, grid: NDTGrid) -> jnp.ndarray:
+    """Sort order of ``points`` by their voxel key in ``grid``'s frame —
+    the coherence prep for ``ndt_lookup_banded`` (applied ONCE before the
+    loop; the solve is permutation-invariant).
+
+    Ordering uses the CLIPPED key (not the out-of-range pad): a boundary
+    point one cell below the grid is a base-lookup miss either way, but
+    under a neighbor offset it becomes a valid query — sorting it next to
+    its clipped position keeps that query inside its chunk's band (pad-
+    sorted tails mixed coherent and arbitrary offset keys, measured 0.3%
+    spurious band misses on the +x offset)."""
+    c = _cells_raw(points.astype(jnp.float32), grid.lo, grid.voxel_size)
+    k = _pack(jnp.clip(c, 0, (1 << _AXIS_BITS) - 1))
+    return jnp.argsort(k).astype(jnp.int32)
+
+
 def gauss_d1_d2(outlier_ratio: float, resolution: float) -> Tuple[float, float]:
     """Magnusson thesis eq. 6.8: mixture constants for the robust NDT score
     ``-d1 exp(-d2/2 * r^T S r)`` given the uniform-outlier ratio and the

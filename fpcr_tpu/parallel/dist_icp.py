@@ -200,10 +200,22 @@ def distributed_ndt(
     config = resolve_voxel_size(config or NDTConfig(), target)
     shards = mesh.devices.size
     n = source.shape[0]
-    source_p, source_mask = _pad_shardable(source.astype(jnp.float32), shards)
+    src = source.astype(jnp.float32)
     grid = build_ndt_grid(target, config.voxel_size, target_mask,
                           min_points=config.min_points,
                           eig_ratio=config.eig_ratio)
+    from ..models.ndt import _resolve_lookup
+
+    config = _resolve_lookup(config, n)
+    order = None
+    if config.lookup == "banded":
+        # global voxel-key sort BEFORE sharding: each shard then holds a
+        # contiguous coherent block, exactly what the band reads need
+        from ..ops.ndt import cell_key_order
+
+        order = cell_key_order(src, grid)
+        src = jnp.take(src, order, axis=0)
+    source_p, source_mask = _pad_shardable(src, shards)
 
     def shard_fn(src, smask, g):
         R, t, it, errs, conv, frac = _ndt_loop(
@@ -226,4 +238,7 @@ def distributed_ndt(
         fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)
     result = jax.jit(fn)(source_p, source_mask, grid)
-    return result._replace(points=result.points[:n])
+    pts = result.points[:n]
+    if order is not None:  # undo the coherence sort (original row order)
+        pts = jnp.zeros_like(pts).at[order].set(pts)
+    return result._replace(points=pts)

@@ -1,0 +1,148 @@
+"""Real-TPU correctness smoke: asserts the TPU-only numerics each round.
+
+VERDICT r2 #8: the CI suite runs on the virtual CPU mesh (the single chip
+is driver-held), so the class of TPU-only numerical bugs BENCH_NOTES
+records finding twice — bf16 normals rotation drift, elided bf16 splits
+under --xla_allow_excess_precision — had no automated guard. This script
+is that guard: a few minutes of chip time asserting CORRECTNESS (not
+speed) on real hardware. Exit nonzero on any regression.
+
+Checks:
+  1. packed6 vs highest Pallas brute matcher: argmin agreement (near-tie
+     swaps allowed only when the extra squared distance is negligible);
+  2. Bunny point + plane GT recovery through run_icp (parity contract);
+  3. hall scan (strict reference ordering) plane GT recovery;
+  4. morton banded vs exact matcher: same recovered transform;
+  5. NDT banded vs gather lookup: identical rows on coherent queries;
+  6. GICP + symmetric metrics converge (the carried-normals HIGHEST path).
+
+Run: python scripts/tpu_smoke.py   (on the TPU; ~a few min incl. compiles)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import fpcr_tpu as f  # noqa: E402
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    status = "ok" if ok else "FAIL"
+    print(f"[{status}] {name} {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def main() -> int:
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})", flush=True)
+    if dev.platform != "tpu":
+        print("NOT a TPU — this smoke only means something on hardware",
+              flush=True)
+
+    # --- 1. packed6 vs highest argmin agreement ------------------------
+    from fpcr_tpu.ops.matching_pallas import nn_argmin_pallas
+
+    scene = f.synthetic_scene(width=128)
+    src, tgt = scene.source, scene.target
+    i_hi, d_hi = nn_argmin_pallas(src, tgt, None, mode="highest")
+    i_pk, d_pk = nn_argmin_pallas(src, tgt, None, mode="packed6")
+    i_hi, i_pk = np.asarray(i_hi), np.asarray(i_pk)
+    d_hi, d_pk = np.asarray(d_hi), np.asarray(d_pk)
+    swaps = i_hi != i_pk
+    # swapped rows must be genuine near-ties (measured r2: <= 2 rows,
+    # extra sqdist <= 7e-7)
+    tgt_np = np.asarray(tgt)
+    src_np = np.asarray(src)
+    extra = 0.0
+    if swaps.any():
+        d_true = ((src_np[swaps] - tgt_np[i_hi[swaps]]) ** 2).sum(1)
+        d_got = ((src_np[swaps] - tgt_np[i_pk[swaps]]) ** 2).sum(1)
+        extra = float(np.max(d_got - d_true))
+    check("packed6 argmin agreement",
+          swaps.mean() < 1e-3 and extra < 1e-5,
+          f"swaps={int(swaps.sum())}/{swaps.size}, max extra sqdist={extra:.2e}")
+    check("packed6 distance accuracy",
+          float(np.max(np.abs(d_pk - d_hi))) < 1e-4,
+          f"max |d| err={float(np.max(np.abs(d_pk - d_hi))):.2e}")
+
+    # --- 2. Bunny GT recovery ------------------------------------------
+    from fpcr_tpu.data.bunny import bunny_scene
+
+    bs = bunny_scene()
+    for metric in ("point", "plane"):
+        res = f.run_icp(bs.source, bs.target,
+                        f.ICPConfig(metric=metric, max_iterations=40))
+        err = float(f.transform_rmse(res.transform, bs.ground_truth,
+                                     bs.source))
+        check(f"bunny {metric} GT recovery", err < 1e-5, f"err={err:.2e}")
+
+    # --- 3. hall scan (strict ordering) plane recovery -----------------
+    from fpcr_tpu.data.ouster import hall_scene
+
+    hs = hall_scene(strict=True)
+    res = f.run_icp(hs.source, hs.target,
+                    f.ICPConfig(metric="plane", max_iterations=100))
+    err = float(f.transform_rmse(res.transform, hs.ground_truth, hs.source))
+    check("hall strict plane GT recovery", err < 1e-5, f"err={err:.2e}")
+
+    # --- 4. morton banded vs exact: same transform ---------------------
+    gt_small = f.gt_transform((0.004, -0.002, 0.003), (0.002, -0.003, 0.002))
+    tgt_near = gt_small.apply(scene.source)
+    r_exact = f.run_icp(scene.source, tgt_near,
+                        f.ICPConfig(matcher="pallas", max_iterations=30))
+    r_band = f.run_icp(scene.source, tgt_near,
+                       f.ICPConfig(matcher="morton", max_iterations=30,
+                                   morton_window=128))
+    dt = float(jnp.linalg.norm(r_exact.transform.translation
+                               - r_band.transform.translation))
+    dR = float(jnp.max(jnp.abs(r_exact.transform.rotation
+                               - r_band.transform.rotation)))
+    check("morton vs exact transform agreement",
+          dt < 1e-5 and dR < 1e-5, f"|dt|={dt:.2e}, |dR|={dR:.2e}")
+
+    # --- 5. NDT banded vs gather lookup parity on TPU ------------------
+    from fpcr_tpu.ops.ndt import (build_ndt_grid, cell_key_order,
+                                  ndt_lookup, ndt_lookup_banded)
+
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(0, 2.0, (16384, 3)).astype(np.float32)
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    q = jnp.asarray(pts + rng.normal(0, 0.02, pts.shape).astype(np.float32))
+    q = jnp.take(q, cell_key_order(q, grid), axis=0)
+    mu_g, si_g, hit_g = ndt_lookup(q, grid)
+    mu_b, si_b, hit_b = ndt_lookup_banded(q, grid)
+    hg, hb = np.asarray(hit_g), np.asarray(hit_b)
+    both = hg & hb
+    mu_ok = np.array_equal(np.asarray(mu_b)[both], np.asarray(mu_g)[both])
+    si_ok = np.array_equal(np.asarray(si_b)[both], np.asarray(si_g)[both])
+    check("NDT banded lookup parity",
+          (not (hb & ~hg).any()) and (hb == hg).mean() > 0.999
+          and mu_ok and si_ok,
+          f"hit agreement={(hb == hg).mean():.5f}, rows exact={mu_ok and si_ok}")
+
+    # --- 6. carried-normals metrics converge on TPU --------------------
+    for metric in ("symmetric", "gicp"):
+        res = f.run_icp(scene.source, scene.target,
+                        f.ICPConfig(metric=metric, max_iterations=30))
+        err = float(f.transform_rmse(res.transform, scene.ground_truth,
+                                     scene.source))
+        ok = bool(np.isfinite(err)) and err < 1e-4
+        check(f"{metric} TPU convergence", ok, f"err={err:.2e}")
+
+    print(f"\n{len(FAILURES)} failure(s)" if FAILURES else "\nall checks ok",
+          flush=True)
+    return 1 if FAILURES else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

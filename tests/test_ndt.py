@@ -243,3 +243,57 @@ def test_register_ndt_hall_scan():
                        f.ICPConfig(metric="plane", max_iterations=40))
     assert float(f.transform_rmse(res.transform, scene.ground_truth,
                                   scene.source)) < 1e-5
+
+
+def test_banded_lookup_matches_gather():
+    """ndt_lookup_banded == ndt_lookup exactly on voxel-key-coherent
+    inputs (every offset of the direct7 neighborhood)."""
+    from fpcr_tpu.ops.ndt import cell_key_order, ndt_lookup_banded
+
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(0, 2.0, (6000, 3)).astype(np.float32)
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    src = jnp.asarray(pts + rng.normal(0, 0.02, pts.shape).astype(np.float32))
+    src = jnp.take(src, cell_key_order(src, grid), axis=0)
+    offsets = [None, (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+               (0, 0, 1), (0, 0, -1)]
+    for off in offsets:
+        o = None if off is None else jnp.asarray(off, jnp.int32)
+        mu_g, si_g, hit_g = ndt_lookup(src, grid, cell_offset=o)
+        mu_b, si_b, hit_b = ndt_lookup_banded(src, grid, cell_offset=o,
+                                              chunk=256, window=256)
+        hg, hb = np.asarray(hit_g), np.asarray(hit_b)
+        # banded may only MISS extra (band edge), never fabricate a hit
+        assert not (hb & ~hg).any(), off
+        # on coherent uniform data the band covers everything
+        agree = hb == hg
+        assert agree.mean() > 0.999, (off, 1 - agree.mean())
+        both = hb & hg
+        np.testing.assert_array_equal(np.asarray(mu_b)[both],
+                                      np.asarray(mu_g)[both])
+        np.testing.assert_array_equal(np.asarray(si_b)[both],
+                                      np.asarray(si_g)[both])
+
+
+def test_run_ndt_banded_registers():
+    """The banded lookup drives the full NDT loop to the same quality as
+    the gather path."""
+    scene = f.synthetic_scene(width=48)
+    gt = f.gt_transform((0.02, -0.015, 0.01), (0.03, -0.02, 0.015))
+    tgt = gt.apply(scene.source)
+    res_g = run_ndt(scene.source, tgt,
+                    NDTConfig(voxel_size=0.4, max_iterations=60,
+                              lookup="gather"))
+    res_b = run_ndt(scene.source, tgt,
+                    NDTConfig(voxel_size=0.4, max_iterations=60,
+                              lookup="banded", lookup_chunk=256,
+                              lookup_window=256))
+    assert bool(res_b.converged)
+    e_g = float(f.transform_rmse(res_g.transform, gt, scene.source))
+    e_b = float(f.transform_rmse(res_b.transform, gt, scene.source))
+    assert e_b < 5e-3, e_b
+    assert e_b < 2.0 * e_g + 1e-4, (e_b, e_g)
+    # points come back in the ORIGINAL row order despite the internal sort
+    np.testing.assert_allclose(
+        np.asarray(res_b.points),
+        np.asarray(res_b.transform.apply(scene.source)), atol=1e-6)
