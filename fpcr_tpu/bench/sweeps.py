@@ -70,9 +70,12 @@ def time_complexity_sweep(
             return best
 
         if slope:
-            # small problems run at microseconds/iter — widen the slope
-            # window so the estimate resolves above timer/tunnel noise
-            delta = 10 if width >= 64 else 400
+            # the slope window must put delta×ms_per_iter well above the
+            # ~ms tunnel/timer noise: at 0.1 ms/iter a 20-iteration window
+            # is pure noise (measured 18x outliers at width 64-96 in r3) —
+            # use the wide window everywhere; 400 extra iterations cost
+            # <0.3 s even at the largest sweep size
+            delta = 400
             lo = timed(iterations)
             hi = timed(iterations + delta)
             ms = (hi - lo) * 1e3 / delta

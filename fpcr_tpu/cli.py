@@ -52,7 +52,9 @@ def _cmd_run(args) -> int:
     elif args.dataset == "hall":
         from .data.ouster import hall_scene
 
-        scene = hall_scene()
+        # strict=True (default) = the reference's op order (GT RyT applied
+        # pre-scale); --hall-legacy keeps the harder r1/r2 variant
+        scene = hall_scene(strict=not args.hall_legacy)
     else:  # pragma: no cover
         raise SystemExit(f"unknown dataset {args.dataset}")
 
@@ -70,7 +72,12 @@ def _cmd_run(args) -> int:
         grid_cap=args.grid_cap,
         morton_window=args.morton_window,
         morton_impl=args.morton_impl,
+        morton_rescue=args.morton_rescue,
     )
+    if args.tune_morton:
+        config = f.tune_morton(scene.source, scene.target, config)
+        print(f"# tune_morton: shifts={config.morton_shifts} "
+              f"rescue={config.morton_rescue}", file=sys.stderr)
 
     if args.profile:
         from .utils.timing import profile_icp
@@ -239,6 +246,15 @@ def main(argv=None) -> int:
     run.add_argument("--grid-cell-size", type=float, default=None)
     run.add_argument("--grid-cap", type=int, default=8)
     run.add_argument("--morton-window", type=int, default=256)
+    run.add_argument("--morton-rescue", type=int, default=0,
+                     help="exact re-match of the K worst rows/iteration "
+                          "(seam-heavy geometry; see tune_morton)")
+    run.add_argument("--tune-morton", action="store_true", dest="tune_morton",
+                     help="probe-driven Morton quality tuning before the "
+                          "run (auto dual-shift + rescue sizing)")
+    run.add_argument("--hall-legacy", action="store_true", dest="hall_legacy",
+                     help="hall scene with the legacy meters-space GT "
+                          "translation (default is strict reference order)")
     run.add_argument("--morton-impl", default="auto",
                      choices=["auto", "xla", "pallas"])
     run.add_argument("--distributed", action="store_true",
