@@ -182,6 +182,7 @@ def _cmd_sweep(args) -> int:
         repeats=args.repeats,
         matcher=args.matcher,
         csv_path=args.csv,
+        slope=args.slope,
     )
     for n, ms in rows:
         print(f"{n},{ms:.6f}")
@@ -283,6 +284,10 @@ def main(argv=None) -> int:
     sweep.add_argument("--repeats", type=int, default=3)
     sweep.add_argument("--matcher", default="xla", choices=["xla", "pallas"])
     sweep.add_argument("--csv", default=None)
+    sweep.add_argument("--slope", action="store_true",
+                       help="slope timing (cancels dispatch overhead and "
+                            "the plane normals prepass; the committed-"
+                            "artifact method)")
     _add_common(sweep)
     sweep.set_defaults(fn=_cmd_sweep)
 

@@ -62,6 +62,11 @@ class NDTConfig:
     lookup_threshold: int = 65536
     lookup_chunk: int = 512       # source rows per band read
     lookup_window: int = 512      # table rows each side of the probe rank
+    # banded implementation: 'pallas' (the fused direct7 kernel — one
+    # band pass computes the whole neighborhood's GN moments, see
+    # ops/ndt_pallas.py) | 'xla' (per-offset dynamic_slice bands) |
+    # 'auto' (pick the measured-faster path per backend)
+    lookup_impl: str = "auto"
 
     def __post_init__(self):
         if self.voxel_size is not None and self.voxel_size <= 0:
@@ -72,6 +77,8 @@ class NDTConfig:
             raise ValueError(f"unknown neighborhood {self.neighborhood!r}")
         if self.lookup not in ("auto", "gather", "banded"):
             raise ValueError(f"unknown lookup {self.lookup!r}")
+        if self.lookup_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown lookup_impl {self.lookup_impl!r}")
 
 
 def resolve_voxel_size(config: NDTConfig, target: jnp.ndarray) -> NDTConfig:
@@ -97,6 +104,75 @@ def _resolve_lookup(config: NDTConfig, n: int) -> NDTConfig:
     return dataclasses.replace(config, lookup=mode)
 
 
+def _assemble_Hg(w, s, sr, y):
+    """Component-form GN assembly on [N] lanes: Σ over points of the
+    6×6 H blocks and gradient for J = [I | −[y]×] (see the derivation in
+    ``_ndt_loop``). ``s`` = (s00, s01, s02, s11, s12, s22) and ``sr`` =
+    S·r per point; ``w=None`` means the components are ALREADY
+    weight-aggregated over the neighborhood (the fused-kernel path —
+    ops/ndt_pallas.py returns Σ_b w S_b and Σ_b w S_b r_b directly).
+
+    The component form is pure VPU elementwise + fused reductions
+    (~0.3 ms/offset at 262k); batched-3×3 einsums pad each tiny matmul to
+    MXU tiles and measured ~4.5 ms/offset — 2× the lookup itself.
+    """
+    s00, s01, s02, s11, s12, s22 = s
+    sr0, sr1, sr2 = sr
+    y0, y1, y2 = y
+    if w is not None:
+        s00, s01, s02 = w * s00, w * s01, w * s02
+        s11, s12, s22 = w * s11, w * s12, w * s22
+        sr0, sr1, sr2 = w * sr0, w * sr1, w * sr2
+
+    # Jᵀ S r: t-block = S r, θ-block = (−K)ᵀ S r = y × (S r)
+    g_t = jnp.stack([jnp.sum(sr0), jnp.sum(sr1), jnp.sum(sr2)])
+    g_th = jnp.stack([
+        jnp.sum(y1 * sr2 - y2 * sr1),
+        jnp.sum(y2 * sr0 - y0 * sr2),
+        jnp.sum(y0 * sr1 - y1 * sr0),
+    ])
+    # H blocks (6×6 symmetric), J = [I | −K], K = [y]×, Kᵀ = −K:
+    #   A = Σ w S                       (t,t)
+    #   B = Σ w S(−K) = −Σ w S·K        (t,θ)
+    #   C = Σ w (−K)ᵀS(−K) = Σ w KᵀSK   (θ,θ) — PSD: vᵀKᵀSKv ≥ 0
+    # K's columns: k0=(0,y2,−y1), k1=(−y2,0,y0), k2=(y1,−y0,0);
+    # m_j = S k_j, B[:,j] = −Σ w m_j, C[i,j] = Σ w (k_i · m_j).
+    m00 = s01 * y2 - s02 * y1  # (S k0)_x
+    m01 = s11 * y2 - s12 * y1  # (S k0)_y
+    m02 = s12 * y2 - s22 * y1  # (S k0)_z
+    m10 = -s00 * y2 + s02 * y0
+    m11 = -s01 * y2 + s12 * y0
+    m12 = -s02 * y2 + s22 * y0
+    m20 = s00 * y1 - s01 * y0
+    m21 = s01 * y1 - s11 * y0
+    m22 = s02 * y1 - s12 * y0
+    A = jnp.stack([
+        jnp.stack([jnp.sum(s00), jnp.sum(s01), jnp.sum(s02)]),
+        jnp.stack([jnp.sum(s01), jnp.sum(s11), jnp.sum(s12)]),
+        jnp.stack([jnp.sum(s02), jnp.sum(s12), jnp.sum(s22)]),
+    ])
+    B = -jnp.stack([
+        jnp.stack([jnp.sum(m00), jnp.sum(m10), jnp.sum(m20)]),
+        jnp.stack([jnp.sum(m01), jnp.sum(m11), jnp.sum(m21)]),
+        jnp.stack([jnp.sum(m02), jnp.sum(m12), jnp.sum(m22)]),
+    ])
+    # C[i,j] = Σ w k_i·m_j (symmetric — 6 unique sums)
+    c00 = jnp.sum(y2 * m01 - y1 * m02)
+    c01 = jnp.sum(y2 * m11 - y1 * m12)
+    c02 = jnp.sum(y2 * m21 - y1 * m22)
+    c11 = jnp.sum(-y2 * m10 + y0 * m12)
+    c12 = jnp.sum(-y2 * m20 + y0 * m22)
+    c22 = jnp.sum(y1 * m20 - y0 * m21)
+    C = jnp.stack([
+        jnp.stack([c00, c01, c02]),
+        jnp.stack([c01, c11, c12]),
+        jnp.stack([c02, c12, c22]),
+    ])
+    H = jnp.block([[A, B], [B.T, C]])
+    g = jnp.concatenate([g_t, g_th])
+    return H, g
+
+
 class NDTResult(NamedTuple):
     transform: RigidTransform
     errors: jnp.ndarray          # [max_iterations] mean Mahalanobis, NaN after stop
@@ -112,9 +188,10 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
     def _psum(v):
         return lax.psum(v, axis_name) if axis_name is not None else v
 
-    d1, d2 = gauss_d1_d2(config.outlier_ratio, config.voxel_size)
-    d1 = jnp.float32(abs(d1))  # d1 < 0 in the score convention; weight uses |d1|
-    d2 = jnp.float32(d2)
+    d1f, d2f = gauss_d1_d2(config.outlier_ratio, config.voxel_size)
+    d1f = abs(d1f)  # d1 < 0 in the score convention; weight uses |d1|
+    d1 = jnp.float32(d1f)
+    d2 = jnp.float32(d2f)
     prec = jax.lax.Precision.HIGHEST
 
     if config.neighborhood == "direct7":
@@ -123,7 +200,24 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
     else:
         offsets = [None]
 
-    if config.lookup == "banded":
+    impl = config.lookup_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    fused = config.lookup == "banded" and impl == "pallas"
+    if fused:
+        from ..ops.ndt_pallas import ndt_fused_moments, prepare_fused_tables
+
+        # operand prep (cell pack + transposed feature table) runs ONCE
+        # per registration, outside the while_loop
+        tables = prepare_fused_tables(grid)
+
+        def fused_moments(x):
+            return ndt_fused_moments(
+                x, grid, tables, voxel_size=float(config.voxel_size),
+                d1=d1f, d2=d2f, neighborhood=config.neighborhood,
+                chunk=config.lookup_chunk, window=config.lookup_window,
+                source_mask=source_mask)
+    elif config.lookup == "banded":
         from ..ops.ndt import ndt_lookup_banded
 
         def lookup_fn(x, g, off):
@@ -151,93 +245,54 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
         c = (_psum(jnp.einsum("n,ni->i", w_c, x, precision=prec))
              / jnp.maximum(_psum(jnp.sum(w_c)), 1.0))
         y = x - c
-        y0, y1, y2 = y[:, 0], y[:, 1], y[:, 2]
+        y_comp = (y[:, 0], y[:, 1], y[:, 2])
 
-        H = jnp.zeros((6, 6), jnp.float32)
-        g = jnp.zeros((6,), jnp.float32)
-        err_num = jnp.float32(0.0)
-        err_den = jnp.float32(0.0)
-        any_hit = jnp.zeros((x.shape[0],), bool)
-        # DIRECT7-style multi-voxel field: every occupied voxel in the face
-        # neighborhood contributes its Gaussian (static unrolled loop — no
-        # dynamic shapes, just K× the searchsorted+gather).
-        # The per-offset assembly is UNROLLED COMPONENT FORM on [N] lanes:
-        # batched-3×3 einsums ([N,3,3] dot_generals) pad each tiny matmul
-        # to MXU tiles — measured ~4.5 ms/offset at 262k, 2× the lookup
-        # itself; the component form is pure VPU elementwise + fused
-        # reductions (~0.3 ms/offset).
-        for off in offsets:
-            mu, sinv, hit = lookup_fn(x, grid, off)
-            if source_mask is not None:
-                hit = hit & source_mask
-            r = x - mu
-            r0, r1, r2 = r[:, 0], r[:, 1], r[:, 2]
-            s00, s01, s02 = sinv[:, 0, 0], sinv[:, 0, 1], sinv[:, 0, 2]
-            s11, s12, s22 = sinv[:, 1, 1], sinv[:, 1, 2], sinv[:, 2, 2]
-            # S r
-            sr0 = s00 * r0 + s01 * r1 + s02 * r2
-            sr1 = s01 * r0 + s11 * r1 + s12 * r2
-            sr2 = s02 * r0 + s12 * r1 + s22 * r2
-            q = r0 * sr0 + r1 * sr1 + r2 * sr2  # Mahalanobis² (0 for misses)
-            w = d1 * d2 * jnp.exp(jnp.clip(-0.5 * d2 * q, -60.0, 0.0))
-            w = jnp.where(hit, w, 0.0)
-            any_hit = any_hit | hit
-
-            # Jᵀ S r: t-block = S r, θ-block = (−K)ᵀ S r = y × (S r)
-            g_t = jnp.stack([jnp.sum(w * sr0), jnp.sum(w * sr1),
-                             jnp.sum(w * sr2)])
-            g_th = jnp.stack([
-                jnp.sum(w * (y1 * sr2 - y2 * sr1)),
-                jnp.sum(w * (y2 * sr0 - y0 * sr2)),
-                jnp.sum(w * (y0 * sr1 - y1 * sr0)),
-            ])
-            # H blocks (6×6 symmetric), J = [I | −K], K = [y]×, Kᵀ = −K:
-            #   A = Σ w S                       (t,t)
-            #   B = Σ w S(−K) = −Σ w S·K        (t,θ)
-            #   C = Σ w (−K)ᵀS(−K) = Σ w KᵀSK   (θ,θ) — PSD: vᵀKᵀSKv ≥ 0
-            # K's columns: k0=(0,y2,−y1), k1=(−y2,0,y0), k2=(y1,−y0,0);
-            # m_j = S k_j, B[:,j] = −Σ w m_j, C[i,j] = Σ w (k_i · m_j).
-            m00 = s01 * y2 - s02 * y1  # (S k0)_x
-            m01 = s11 * y2 - s12 * y1  # (S k0)_y
-            m02 = s12 * y2 - s22 * y1  # (S k0)_z
-            m10 = -s00 * y2 + s02 * y0
-            m11 = -s01 * y2 + s12 * y0
-            m12 = -s02 * y2 + s22 * y0
-            m20 = s00 * y1 - s01 * y0
-            m21 = s01 * y1 - s11 * y0
-            m22 = s02 * y1 - s12 * y0
-            A = jnp.stack([
-                jnp.stack([jnp.sum(w * s00), jnp.sum(w * s01),
-                           jnp.sum(w * s02)]),
-                jnp.stack([jnp.sum(w * s01), jnp.sum(w * s11),
-                           jnp.sum(w * s12)]),
-                jnp.stack([jnp.sum(w * s02), jnp.sum(w * s12),
-                           jnp.sum(w * s22)]),
-            ])
-            B = -jnp.stack([
-                jnp.stack([jnp.sum(w * m00), jnp.sum(w * m10),
-                           jnp.sum(w * m20)]),
-                jnp.stack([jnp.sum(w * m01), jnp.sum(w * m11),
-                           jnp.sum(w * m21)]),
-                jnp.stack([jnp.sum(w * m02), jnp.sum(w * m12),
-                           jnp.sum(w * m22)]),
-            ])
-            # C[i,j] = Σ w k_i·m_j (symmetric — 6 unique sums)
-            c00 = jnp.sum(w * (y2 * m01 - y1 * m02))
-            c01 = jnp.sum(w * (y2 * m11 - y1 * m12))
-            c02 = jnp.sum(w * (y2 * m21 - y1 * m22))
-            c11 = jnp.sum(w * (-y2 * m10 + y0 * m12))
-            c12 = jnp.sum(w * (-y2 * m20 + y0 * m22))
-            c22 = jnp.sum(w * (y1 * m20 - y0 * m21))
-            C = jnp.stack([
-                jnp.stack([c00, c01, c02]),
-                jnp.stack([c01, c11, c12]),
-                jnp.stack([c02, c12, c22]),
-            ])
-            H = H + jnp.block([[A, B], [B.T, C]])
-            g = g + jnp.concatenate([g_t, g_th])
-            err_num = err_num + jnp.sum(jnp.where(hit, q, 0.0))
-            err_den = err_den + jnp.sum(hit.astype(jnp.float32))
+        if fused:
+            # The whole direct7 field in ONE kernel pass: per-query
+            # weighted moments WS = Σ_b w S_b and WSμ′ = Σ_b w S_b μ′_b
+            # over the neighborhood, plus Σq / count lanes. The GN pieces
+            # follow exactly: Σ_b w S_b r_b = WS·x′ − WSμ′ (shared anchor).
+            rows, xp = fused_moments(x)
+            s = (rows[:, 0], rows[:, 1], rows[:, 2],
+                 rows[:, 3], rows[:, 4], rows[:, 5])
+            xp0, xp1, xp2 = xp[:, 0], xp[:, 1], xp[:, 2]
+            sr = (s[0] * xp0 + s[1] * xp1 + s[2] * xp2 - rows[:, 6],
+                  s[1] * xp0 + s[3] * xp1 + s[4] * xp2 - rows[:, 7],
+                  s[2] * xp0 + s[4] * xp1 + s[5] * xp2 - rows[:, 8])
+            H, g = _assemble_Hg(None, s, sr, y_comp)
+            err_num = jnp.sum(rows[:, 11])
+            err_den = jnp.sum(rows[:, 10])
+            any_hit = rows[:, 10] > 0.0
+        else:
+            H = jnp.zeros((6, 6), jnp.float32)
+            g = jnp.zeros((6,), jnp.float32)
+            err_num = jnp.float32(0.0)
+            err_den = jnp.float32(0.0)
+            any_hit = jnp.zeros((x.shape[0],), bool)
+            # DIRECT7-style multi-voxel field: every occupied voxel in the
+            # face neighborhood contributes its Gaussian (static unrolled
+            # loop — no dynamic shapes, just K× the lookup + assembly).
+            for off in offsets:
+                mu, sinv, hit = lookup_fn(x, grid, off)
+                if source_mask is not None:
+                    hit = hit & source_mask
+                r = x - mu
+                r0, r1, r2 = r[:, 0], r[:, 1], r[:, 2]
+                s = (sinv[:, 0, 0], sinv[:, 0, 1], sinv[:, 0, 2],
+                     sinv[:, 1, 1], sinv[:, 1, 2], sinv[:, 2, 2])
+                # S r
+                sr = (s[0] * r0 + s[1] * r1 + s[2] * r2,
+                      s[1] * r0 + s[3] * r1 + s[4] * r2,
+                      s[2] * r0 + s[4] * r1 + s[5] * r2)
+                q = r0 * sr[0] + r1 * sr[1] + r2 * sr[2]  # Mahalanobis²
+                w = d1 * d2 * jnp.exp(jnp.clip(-0.5 * d2 * q, -60.0, 0.0))
+                w = jnp.where(hit, w, 0.0)
+                any_hit = any_hit | hit
+                Hc, gc = _assemble_Hg(w, s, sr, y_comp)
+                H = H + Hc
+                g = g + gc
+                err_num = err_num + jnp.sum(jnp.where(hit, q, 0.0))
+                err_den = err_den + jnp.sum(hit.astype(jnp.float32))
 
         # the 6x6 H / 6-vector g / scalar counters are the ONLY per-
         # iteration ICI traffic (same pattern as dist ICP's moments)

@@ -1,0 +1,433 @@
+"""Fused direct7 NDT band kernel — the whole neighborhood in one pass.
+
+The XLA banded lookup (ops/ndt.py::ndt_lookup_banded) removed the random
+row gather, but the direct7 neighborhood still replays it 7× per
+iteration (one band compare + one-hot extraction per face offset):
+measured 15.5 ms/iteration at 262k on v5e. A first Pallas port of the
+per-offset lookup was *slower* (32 ms/iter: its K=8 HIGHEST distance
+matmul pays ~6 sequential passes at 8/128 K-utilization). This kernel
+dissolves the per-offset structure instead — the TPU-native formulation
+of the direct7 field is three MXU matmuls per band chunk:
+
+* **one band per chunk covers all 7 neighbors.** Voxel keys are
+  ``cx·2²⁰ + cy·2¹⁰ + cz`` in ascending order, so for surface-like scans
+  the face neighbors of a query voxel sit within a few dozen table rows:
+  z±1 is ±1 key, y±1 is ~one (cx,cy)-column of rows (1–4 for a
+  single-valued surface), and x±1 is ~one x-plane of rows (≈ the cloud
+  width in voxels). A ``window`` of 256 rows each side therefore spans
+  the whole neighborhood — no per-offset bands, no 7 probes;
+* **neighborhood mask as an exact integer-distance matmul**: with the
+  augmented cell vectors packed in the K-packed bf16x6 layout
+  (morton_pallas ``_pack6`` — every nonzero split-product pair of
+  integers < 2¹⁰ is kept, so the one bf16 MXU pass is EXACT),
+  ``d(b,q) = |c_b − c_q|²`` and ``d ≤ 1`` *is* the direct7 predicate —
+  own voxel (d=0) plus the 6 faces (d=1) in one compare;
+* **Mahalanobis distances as one bilinear matmul**: ``q(b,q) =
+  (x_q − μ_b)ᵀ S_b (x_q − μ_b)`` expands over band features
+  ``[S(6), Sμ′(3), μ′ᵀSμ′]`` × query monomials ``[x′x′(6), −2x′(3), 1]``,
+  both sides **anchored to the chunk's probe voxel center** (μ′ = μ − a,
+  x′ = x − a): the cancellation scale drops from |x|² (the f32 failure
+  ADVICE.md flagged at global-frame coordinates) to the chunk's local
+  extent. That extent can still span the cloud's cross-section (chunks
+  are voxel-key-contiguous, so one chunk may cover an x-plane), leaving
+  expansion terms ~100× larger than q — an h+m split (~2⁻¹⁵ rel) is NOT
+  enough once ``exp(−d2/2·q)`` amplifies the error. Operands are
+  therefore split h+m+l (truncation split, exact bf16 parts) with the 6
+  leading part-pairs kept — K = 96 ≤ 128 is STILL one bf16 MXU pass,
+  and the dropped pairs leave ~2⁻²⁴ of the expansion scale (~1e-4 in q);
+* **Gauss-Newton moments via weighted extraction**: the robust weight
+  ``w = d1 d2 exp(−d2/2 · q) · mask · valid`` becomes the *middle
+  matrix* of the extraction matmuls: ``Σ_b w·[S, Sμ′]`` per query, with
+  w split h+m so every bf16 product is exact. The per-query moments
+  WS (6), WSμ′ (3) are algebraically the complete per-offset sums the
+  GN assembly needs: ``Σ_b w S_b r_b = WS·x′ − WSμ′`` (models/ndt.py
+  consumes exactly this), so the iteration has NO per-offset loop at
+  all — on or off the device.
+
+Per-chunk cost at (chunk=512, window=256): mask + maha + 2 extraction
+matmuls, all K ≤ 128 (one MXU pass each) + ~20 VPU passes over
+[band, chunk] — measured numbers in BENCH_NOTES §NDT.
+
+Contract identical to ``ndt_lookup_banded``: query rows voxel-key-
+coherent (``cell_key_order``); a neighbor voxel whose table row lies
+outside the chunk's band contributes nothing (the banded miss
+semantics, bounded by ``window``). Moment-level parity with the
+explicit 7-offset gather path is asserted in tests (interpret mode)
+and on hardware (scripts/tpu_smoke.py).
+
+Reference counterpart: none (the CUDA reference has no NDT); the banded
+band/probe structure cites the Morton matcher it generalizes
+(ops/morton_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.cloud import round_up
+from .morton_pallas import _pack6
+from .ndt import _AXIS_BITS, _KEY_PAD, NDTGrid, _cells_raw, _in_range, _pack
+
+_SUBLANES = 8
+_ALIGN = 128
+_GROUP = 16          # sublanes per packed slot (bf16 tile height)
+_TAB_LANES = 16      # fused table width (ops/ndt.py NDTGrid.table)
+_NFEAT = 10          # band features: S(6), Smu'(3), mu'Smu'(1)
+_NMONO = 10          # query monomials: x'x'(6), -2x'(3), 1
+# h+m+l truncation-split pair layout for the Mahalanobis matmul: kept
+# pairs (h,h),(h,m),(m,h),(m,m),(h,l),(l,h); the dropped (m,l)/(l,m)/(l,l)
+# terms and the per-operand truncation residual are ~2^-24 of the
+# EXPANSION scale — which matters because the bilinear expansion cancels
+# ~100× down to q, and exp(−d2/2·q) then amplifies any q error.
+_QPARTS = (0, 0, 1, 1, 0, 2)  # query-side part per 16-row group
+_BPARTS = (0, 1, 0, 1, 2, 0)  # band-side part per group
+_PACKED2 = _GROUP * 6  # 96 rows <= 128: STILL one bf16 MXU pass
+
+# out lanes: 0:6 WS (upper triangle), 6:9 WSmu', 9 unused (mu'Smu'
+# extraction byproduct), 10 neighbor count, 11 sum of Mahalanobis q
+_LANE_COUNT = 10
+_LANE_QSUM = 11
+
+
+def _trunc_hi(x: jnp.ndarray) -> jnp.ndarray:
+    """Top-16-bit truncation of f32 — an EXACTLY bf16-representable part
+    (x = hi + (x − hi) with both parts exact in f32). Pure bitwise ops, so
+    it lowers inside Mosaic kernels where ``lax.reduce_precision`` and
+    rounding casts may not; immune to --xla_allow_excess_precision."""
+    bits = lax.bitcast_convert_type(x, jnp.uint32)
+    return lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000),
+                                    jnp.float32)
+
+
+def _split2_trunc(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(h, m) truncation split: h + m ≈ x with h, m exact bf16 parts and a
+    dropped residual ≤ 2⁻¹⁵·|x|."""
+    h = _trunc_hi(x)
+    r = x - h
+    return h, _trunc_hi(r)
+
+
+def _split3_trunc(
+        x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(h, m, l) truncation split: h + m + l ≈ x, all exact bf16 parts,
+    dropped residual ≤ 2⁻²³·|x| (h and m are exact f32 subtractions, so
+    only the final truncation loses bits)."""
+    h = _trunc_hi(x)
+    r = x - h
+    m = _trunc_hi(r)
+    return h, m, _trunc_hi(r - m)
+
+
+class FusedNDTTables(NamedTuple):
+    """Per-grid kernel operands (build once, reuse every iteration)."""
+
+    cellpk: jnp.ndarray   # [96, m_pad] bf16 — pack6 of augmented cells
+    tab: jnp.ndarray      # [16, m_pad] f32 — [mu−lo(3), S(6), valid, 0…]
+
+
+def prepare_fused_tables(grid: NDTGrid) -> FusedNDTTables:
+    """Kernel-side tables: augmented-cell pack for the neighborhood mask
+    matmul and the transposed feature table (means re-anchored to the grid
+    origin so the in-kernel chunk anchoring stays in small coordinates)."""
+    m = grid.keys.shape[0]
+    m_pad = round_up(m, _ALIGN)
+    key = (grid.table[:, 10].astype(jnp.int32) << 15) | \
+        grid.table[:, 11].astype(jnp.int32)
+    cx = (key >> (2 * _AXIS_BITS)) & ((1 << _AXIS_BITS) - 1)
+    cy = (key >> _AXIS_BITS) & ((1 << _AXIS_BITS) - 1)
+    cz = key & ((1 << _AXIS_BITS) - 1)
+    c = jnp.stack([cx, cy, cz], axis=0).astype(jnp.float32)  # [3, m]
+    csq = jnp.sum(c * c, axis=0)
+    # pad-sentinel rows must never be neighbors of any real query
+    real = grid.keys != jnp.int32(_KEY_PAD)
+    csq = jnp.where(real, csq, 1e9)
+
+    cbT = jnp.zeros((_SUBLANES, m_pad), jnp.float32)
+    cbT = cbT.at[:3, :m].set(c)
+    cbT = cbT.at[3, :m].set(csq)
+    cbT = cbT.at[3, m:].set(1e9)
+    cbT = cbT.at[4, :].set(1.0)
+    cellpk = _pack6(cbT, 1)  # [96, m_pad] bf16, side 1 = table side
+
+    tabT = jnp.zeros((_TAB_LANES, m_pad), jnp.float32)
+    mu_rel = (grid.table[:, 0:3] - grid.lo[None, :]).T  # [3, m]
+    tabT = tabT.at[0:3, :m].set(jnp.where(real[None, :], mu_rel, 0.0))
+    tabT = tabT.at[3:9, :m].set(grid.table[:, 3:9].T)
+    tabT = tabT.at[9, :m].set(grid.table[:, 9])
+    return FusedNDTTables(cellpk=cellpk, tab=tabT)
+
+
+def _fused_kernel_factory(chunk: int, band: int, unroll: int,
+                          voxel_size: float, d1d2: float, d2: float,
+                          direct7: bool):
+    def kernel(bases_ref, pk_ref, cqcell_ref, cqmono_ref,
+               cell_hbm, tab_hbm, out_ref, cbuf, tbuf, csem, tsem):
+        g = pl.program_id(0)
+
+        def c_dma(slot, j):
+            base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
+            return pltpu.make_async_copy(
+                cell_hbm.at[:, pl.ds(base, band)], cbuf.at[slot],
+                csem.at[slot])
+
+        def t_dma(slot, j):
+            base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
+            return pltpu.make_async_copy(
+                tab_hbm.at[:, pl.ds(base, band)], tbuf.at[slot],
+                tsem.at[slot])
+
+        c_dma(0, 0).start()
+        t_dma(0, 0).start()
+
+        for j in range(unroll):  # static unroll — straight-line code
+            slot = j % 2
+            if j + 1 < unroll:
+                c_dma((j + 1) % 2, j + 1).start()
+                t_dma((j + 1) % 2, j + 1).start()
+            c_dma(slot, j).wait()
+            t_dma(slot, j).wait()
+
+            cols = pl.ds(j * chunk, chunk)
+            # ---- neighborhood mask: exact |c_b − c_q|² on the MXU
+            dc = lax.dot_general(
+                cbuf[slot], cqcell_ref[:, cols],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [band, chunk] — exact integers (pack6 of 10-bit cells)
+
+            # ---- chunk-anchored band features (VPU, [band] rows).
+            # Anchor cell unpacked from the packed probe key IN-KERNEL:
+            # a 2-D scalar-prefetch operand pads each row to 128 SMEM
+            # lanes (s32[C,3] -> 512 B/chunk, 1 MiB at 1M points — SMEM
+            # OOM); the 1-D key is 4 B/chunk.
+            ci = g * unroll + j
+            pk = pk_ref[ci]
+            axis_mask = (1 << _AXIS_BITS) - 1
+            a0 = (((pk >> (2 * _AXIS_BITS)) & axis_mask).astype(jnp.float32)
+                  + 0.5) * voxel_size
+            a1 = (((pk >> _AXIS_BITS) & axis_mask).astype(jnp.float32)
+                  + 0.5) * voxel_size
+            a2 = ((pk & axis_mask).astype(jnp.float32) + 0.5) * voxel_size
+            tab = tbuf[slot]
+            mu0 = tab[0] - a0
+            mu1 = tab[1] - a1
+            mu2 = tab[2] - a2
+            s00, s01, s02 = tab[3], tab[4], tab[5]
+            s11, s12, s22 = tab[6], tab[7], tab[8]
+            valid = tab[9]
+            sm0 = s00 * mu0 + s01 * mu1 + s02 * mu2
+            sm1 = s01 * mu0 + s11 * mu1 + s12 * mu2
+            sm2 = s02 * mu0 + s12 * mu1 + s22 * mu2
+            msm = mu0 * sm0 + mu1 * sm1 + mu2 * sm2
+            feat = jnp.stack(
+                [s00, s01, s02, s11, s12, s22, sm0, sm1, sm2, msm],
+                axis=0)  # [10, band]
+            parts = _split3_trunc(feat)
+            zpad = jnp.zeros((_GROUP - _NFEAT, band), jnp.float32)
+            pack = jnp.concatenate(
+                [jnp.concatenate([parts[p], zpad], axis=0)
+                 for p in _BPARTS], axis=0).astype(jnp.bfloat16)  # [96, band]
+
+            # ---- Mahalanobis q(b, q) in one K=96 bf16 pass
+            qm = lax.dot_general(
+                pack, cqmono_ref[:, cols],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [band, chunk]
+
+            # direct7 predicate: d ∈ {0, 1}; direct1: d = 0
+            near = dc < (1.5 if direct7 else 0.5)
+            maskf = jnp.where(near, valid[:, None],
+                              jnp.zeros_like(qm))  # [band, chunk]
+            w = (d1d2 * jnp.exp(jnp.clip(-0.5 * d2 * qm, -60.0, 0.0))
+                 * maskf)
+            wh, wm = _split2_trunc(w)
+
+            # ---- weighted moment extraction: Σ_b w·[S, Sμ'] per query.
+            # w split h+m keeps every bf16 product exact; the feature pack
+            # is reused — groups (h)+(m)+(l) reconstruct f to ~2⁻²³.
+            ex = (lax.dot_general(
+                      pack, wh.astype(jnp.bfloat16),
+                      dimension_numbers=(((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32)
+                  + lax.dot_general(
+                      pack, wm.astype(jnp.bfloat16),
+                      dimension_numbers=(((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32))  # [96, chunk]
+            # f = groups 0 (h) + 1 (m) + 4 (l) under _BPARTS
+            mom = (ex[0:_GROUP] + ex[_GROUP:2 * _GROUP]
+                   + ex[4 * _GROUP:5 * _GROUP])  # [16, chunk]
+
+            count = jnp.sum(maskf, axis=0)          # [chunk]
+            qsum = jnp.sum(maskf * qm, axis=0)      # [chunk]
+            out = jnp.concatenate([
+                mom[0:_LANE_COUNT],
+                count[None, :], qsum[None, :],
+                jnp.zeros((_TAB_LANES - _LANE_QSUM - 1, chunk), jnp.float32),
+            ], axis=0)  # [16, chunk]
+            out_ref[pl.ds(j, 1), :, :] = out[None, :, :]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("voxel_size", "d1", "d2", "neighborhood", "chunk",
+                     "window", "unroll", "interpret"))
+def ndt_fused_moments(
+    points: jnp.ndarray,
+    grid: NDTGrid,
+    tables: FusedNDTTables,
+    *,
+    voxel_size: float,
+    d1: float,
+    d2: float,
+    neighborhood: str = "direct7",
+    chunk: int = 512,
+    window: int = 256,
+    unroll: int = 8,
+    interpret: Optional[bool] = None,
+    source_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query direct7 GN moments in one kernel pass.
+
+    Returns ``(rows [n, 16], xprime [n, 3])`` where rows lanes are
+    ``[WS(6) | WSμ′(3) | · | count | Σq | 0…]`` and ``xprime = x − a`` is
+    the query in its chunk's anchor frame (μ′ shares the same anchor, so
+    ``Σ_b w S_b r_b = WS·x′ − WSμ′`` exactly — models/ndt.py consumes
+    this). ``points`` rows must be voxel-key-coherent (``cell_key_order``).
+    """
+    if neighborhood not in ("direct1", "direct7"):
+        raise ValueError(f"unknown neighborhood {neighborhood!r}")
+    n = points.shape[0]
+    x = points.astype(jnp.float32)
+    hs = float(voxel_size)
+    d1d2 = float(abs(d1)) * float(d2)
+
+    c = _cells_raw(x, grid.lo, hs)
+    inb = _in_range(c)
+    ok = (source_mask if source_mask is not None
+          else jnp.ones((n,), bool))
+    # Out-of-range queries stay at their REAL (clamped) cells: a point one
+    # cell outside the grid still face-matches its boundary neighbor —
+    # the |Δc|² ≤ 1 predicate handles it with no special case (the
+    # per-offset path needed `inb` on the SHIFTED cell for this). The
+    # ±2²⁰ clamp keeps every packed product exact where it matters; far
+    # clamped cells can never sit within distance 1 of a real cell in
+    # [0, 1024)³. Masked-out rows (distributed padding) are forced to a
+    # structural miss instead.
+    cf = jnp.where(ok[:, None],
+                   jnp.clip(c, -(1 << 20), 1 << 20).astype(jnp.float32),
+                   jnp.float32(-(1 << 11)))
+
+    n_pad = round_up(n, chunk)
+    num_chunks = n_pad // chunk
+    u = unroll
+    while num_chunks % u:
+        u //= 2
+    u = max(u, 1)
+    num_groups = num_chunks // u
+
+    # ---- query cell pack (mask matmul side 0): [-2c, 1, |c|²]
+    csq = jnp.sum(cf * cf, axis=1)
+    cqT = jnp.zeros((_SUBLANES, n_pad), jnp.float32)
+    cqT = cqT.at[4, :].set(1e9)  # padding columns never match
+    cqT = cqT.at[:3, :n].set(-2.0 * cf.T)
+    cqT = cqT.at[3, :n].set(jnp.where(ok, 1.0, 0.0))
+    cqT = cqT.at[4, :n].set(jnp.where(ok, csq, 1e9))
+    cqcell = _pack6(cqT, 0)  # [96, n_pad] bf16
+
+    # ---- per-chunk probe rank + anchor cell (clipped key, matching the
+    # cell_key_order coherence sort)
+    k = jnp.where(ok & inb,
+                  _pack(jnp.clip(c, 0, (1 << _AXIS_BITS) - 1)),
+                  jnp.int32(-1))
+    k_pad = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(k)
+    probe = jnp.max(k_pad.reshape(num_chunks, chunk), axis=1)
+    ranks = jnp.searchsorted(grid.keys, probe).astype(jnp.int32)
+
+    band = round_up(chunk + 2 * window + _ALIGN, _ALIGN)
+    cellpk, tabT = tables.cellpk, tables.tab
+    m_pad = cellpk.shape[1]  # static — from the operand shape, not data
+    if m_pad < band:  # tiny grids: widen so one band fits
+        pad = band - m_pad
+        cellpk = jnp.pad(cellpk, ((0, 0), (0, pad)))
+        tabT = jnp.pad(tabT, ((0, 0), (0, pad)))
+        m_pad = band
+    bases = (jnp.clip(ranks - band // 2, 0, m_pad - band)
+             & ~jnp.int32(_ALIGN - 1))
+    pk = jnp.maximum(probe, 0)
+    acell = jnp.stack([
+        (pk >> (2 * _AXIS_BITS)) & ((1 << _AXIS_BITS) - 1),
+        (pk >> _AXIS_BITS) & ((1 << _AXIS_BITS) - 1),
+        pk & ((1 << _AXIS_BITS) - 1),
+    ], axis=1).astype(jnp.int32)  # [num_chunks, 3] (host-side xp only)
+
+    # ---- anchored query monomials, h+m+l split pack (maha matmul side 0)
+    aoff = (acell.astype(jnp.float32) + 0.5) * jnp.float32(hs)
+    x_rel = x - grid.lo[None, :]
+    xp_pad = (jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(x_rel)
+              .reshape(num_chunks, chunk, 3) - aoff[:, None, :]
+              ).reshape(n_pad, 3)
+    x0, x1, x2 = xp_pad[:, 0], xp_pad[:, 1], xp_pad[:, 2]
+    mono = jnp.stack([
+        x0 * x0, 2.0 * x0 * x1, 2.0 * x0 * x2,
+        x1 * x1, 2.0 * x1 * x2, x2 * x2,
+        -2.0 * x0, -2.0 * x1, -2.0 * x2,
+        jnp.ones_like(x0),
+    ], axis=0)  # [10, n_pad]
+    mh = lax.reduce_precision(mono, exponent_bits=8, mantissa_bits=7)
+    rm = mono - mh
+    mm = lax.reduce_precision(rm, exponent_bits=8, mantissa_bits=7)
+    ml = lax.reduce_precision(rm - mm, exponent_bits=8, mantissa_bits=7)
+    qparts = (mh, mm, ml)
+    zq = jnp.zeros((_GROUP - _NMONO, n_pad), jnp.float32)
+    cqmono = jnp.concatenate(
+        [jnp.concatenate([qparts[p], zq], axis=0) for p in _QPARTS],
+        axis=0).astype(jnp.bfloat16)  # [96, n_pad]
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    kernel = _fused_kernel_factory(chunk, band, u, hs, d1d2, float(d2),
+                                   neighborhood == "direct7")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_groups,),
+        in_specs=[
+            pl.BlockSpec((96, u * chunk), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PACKED2, u * chunk), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # cell pack stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # feature table stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((u, _TAB_LANES, chunk), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 96, band), jnp.bfloat16),
+            pltpu.VMEM((2, _TAB_LANES, band), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (rows,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_chunks, _TAB_LANES, chunk),
+                                        jnp.float32)],
+        interpret=interpret,
+    )(bases, pk, cqcell, cqmono, cellpk, tabT)
+
+    rows = rows.transpose(0, 2, 1).reshape(n_pad, _TAB_LANES)[:n]
+    return rows, xp_pad[:n]

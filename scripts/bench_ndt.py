@@ -5,7 +5,9 @@ VERDICT r2 #6: the gather lookup was the framework's one badly-scaling op
 (direct7 neighborhood) with both lookup strategies, slope-timed like
 bench.py (defeats tunnel RPC overhead + server-side memoization), grid
 prebuilt (the one-time voxelization prepass is excluded — it is the same
-for both strategies). Prints one JSON line per (n, lookup).
+for both strategies). Prints one JSON line per (n, lookup); pass
+``--csv PATH`` to also append ``n,lookup,impl,ms_per_iter`` rows (the
+committed artifact: bench_results/ndt_tpu.csv).
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from fpcr_tpu.models.ndt import NDTConfig, run_ndt  # noqa: E402
 
 
 def bench(n: int, lookup: str, lo=4, hi=16, repeats=3, chunk=512,
-          window=512):
+          window=512, impl="auto", csv=None):
     rng = np.random.default_rng(0)
     # surface-like cloud (z = x^2 - y^2 saddle + noise) so voxel occupancy
     # resembles a scan, not a solid volume
@@ -43,7 +45,7 @@ def bench(n: int, lookup: str, lo=4, hi=16, repeats=3, chunk=512,
     def make(iters):
         cfg = NDTConfig(voxel_size=0.12, max_iterations=iters, tolerance=0.0,
                         lookup=lookup, lookup_chunk=chunk,
-                        lookup_window=window)
+                        lookup_window=window, lookup_impl=impl)
 
         def run(s):
             return run_ndt(s, tgt, cfg, grid=grid)
@@ -69,17 +71,33 @@ def bench(n: int, lookup: str, lo=4, hi=16, repeats=3, chunk=512,
     ms = (t_hi - t_lo) * 1e3 / (hi - lo)
     res = run_hi(src)
     print(json.dumps({
-        "n": n, "lookup": lookup, "ms_per_iter": round(ms, 3),
+        "n": n, "lookup": lookup, "impl": impl, "ms_per_iter": round(ms, 3),
         "matched_fraction": round(float(res.matched_fraction), 4),
         "err0": float(res.errors[0]),
         "platform": jax.devices()[0].platform,
     }), flush=True)
+    if csv:
+        with open(csv, "a") as fh:
+            fh.write(f"{n},{lookup},{impl},{ms:.3f}\n")
 
 
 if __name__ == "__main__":
-    sizes = sys.argv[1:] or ["16384", "262144"]
+    args = sys.argv[1:]
+    csv = None
+    if "--csv" in args:
+        i = args.index("--csv")
+        csv = args[i + 1]
+        del args[i:i + 2]
+        with open(csv, "w") as fh:
+            fh.write("n,lookup,impl,ms_per_iter\n")
+    sizes = args or ["16384", "262144"]
     for s in sizes:
         n = int(s)
+        # small-N iterations cost ~the tunnel RPC noise floor; widen the
+        # slope window so the subtraction resolves them (same practice as
+        # scripts/tpu_sweep.py after VERDICT r2 "weak" #1)
+        hi = 128 if n <= 65536 else 16
         if n <= 262144:
-            bench(n, "gather")
-        bench(n, "banded")
+            bench(n, "gather", hi=hi, csv=csv)
+        bench(n, "banded", impl="xla", hi=hi, csv=csv)
+        bench(n, "banded", impl="pallas", hi=hi, csv=csv)

@@ -14,6 +14,7 @@ Checks:
   3. hall scan (strict reference ordering) plane GT recovery;
   4. morton banded vs exact matcher: same recovered transform;
   5. NDT banded vs gather lookup: identical rows on coherent queries;
+  5b. fused Pallas NDT moments vs the explicit 7-offset gather path;
   6. GICP + symmetric metrics converge (the carried-normals HIGHEST path).
 
 Run: python scripts/tpu_smoke.py   (on the TPU; ~a few min incl. compiles)
@@ -129,6 +130,54 @@ def main() -> int:
           (not (hb & ~hg).any()) and (hb == hg).mean() > 0.999
           and mu_ok and si_ok,
           f"hit agreement={(hb == hg).mean():.5f}, rows exact={mu_ok and si_ok}")
+
+    # --- 5b. fused Pallas NDT moments vs explicit gather path on TPU ---
+    from fpcr_tpu.ops.ndt import gauss_d1_d2
+    from fpcr_tpu.ops.ndt_pallas import (ndt_fused_moments,
+                                         prepare_fused_tables)
+
+    d1f, d2f = gauss_d1_d2(0.55, 0.25)
+    d1f = abs(d1f)
+    offsets = [None, (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+               (0, 0, 1), (0, 0, -1)]
+    WS = np.zeros((q.shape[0], 6), np.float32)
+    WSr = np.zeros((q.shape[0], 3), np.float32)
+    count = np.zeros((q.shape[0],), np.float32)
+    for off in offsets:
+        o = None if off is None else jnp.asarray(off, jnp.int32)
+        mu, sinv, hit = ndt_lookup(q, grid, cell_offset=o)
+        mu, sinv, hit = map(np.asarray, (mu, sinv, hit))
+        r = np.asarray(q) - mu
+        sr = np.einsum("nij,nj->ni", sinv, r)
+        qq = np.sum(r * sr, axis=1)
+        w = d1f * d2f * np.exp(np.clip(-0.5 * d2f * qq, -60.0, 0.0))
+        w = np.where(hit, w, 0.0)
+        for k2, (i, j) in enumerate(
+                [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]):
+            WS[:, k2] += w * sinv[:, i, j]
+        WSr += w[:, None] * sr
+        count += hit.astype(np.float32)
+    tables = prepare_fused_tables(grid)
+    rows, xp = ndt_fused_moments(q, grid, tables, voxel_size=0.25,
+                                 d1=d1f, d2=d2f, chunk=512, window=256)
+    rows, xp = np.asarray(rows), np.asarray(xp)
+    sr_fused = np.stack([
+        rows[:, 0] * xp[:, 0] + rows[:, 1] * xp[:, 1]
+        + rows[:, 2] * xp[:, 2] - rows[:, 6],
+        rows[:, 1] * xp[:, 0] + rows[:, 3] * xp[:, 1]
+        + rows[:, 4] * xp[:, 2] - rows[:, 7],
+        rows[:, 2] * xp[:, 0] + rows[:, 4] * xp[:, 1]
+        + rows[:, 5] * xp[:, 2] - rows[:, 8],
+    ], axis=1)
+    ws_err = float(np.max(np.abs(rows[:, 0:6] - WS))) / max(
+        float(np.abs(WS).max()), 1e-9)
+    sr_err = float(np.max(np.abs(sr_fused - WSr))) / max(
+        float(np.abs(WSr).max()), 1e-9)
+    check("NDT fused kernel moment parity",
+          np.array_equal(rows[:, 10], count) and ws_err < 2e-3
+          and sr_err < 2e-3,
+          f"count exact={np.array_equal(rows[:, 10], count)}, "
+          f"WS rel={ws_err:.2e}, WSr rel={sr_err:.2e}")
 
     # --- 6. carried-normals metrics converge on TPU --------------------
     for metric in ("symmetric", "gicp"):

@@ -297,3 +297,89 @@ def test_run_ndt_banded_registers():
     np.testing.assert_allclose(
         np.asarray(res_b.points),
         np.asarray(res_b.transform.apply(scene.source)), atol=1e-6)
+
+
+def _reference_moments(src, grid, d1f, d2f, offsets):
+    """Explicit per-offset gather-path moments: WS = Σ_off w S, WSr-parts,
+    count, Σq — the quantities the fused kernel must reproduce."""
+    n = src.shape[0]
+    WS = np.zeros((n, 6), np.float32)
+    WSr = np.zeros((n, 3), np.float32)
+    count = np.zeros((n,), np.float32)
+    qsum = np.zeros((n,), np.float32)
+    for off in offsets:
+        o = None if off is None else jnp.asarray(off, jnp.int32)
+        mu, sinv, hit = ndt_lookup(src, grid, cell_offset=o)
+        mu, sinv, hit = map(np.asarray, (mu, sinv, hit))
+        r = np.asarray(src) - mu
+        sr = np.einsum("nij,nj->ni", sinv, r)
+        q = np.sum(r * sr, axis=1)
+        w = d1f * d2f * np.exp(np.clip(-0.5 * d2f * q, -60.0, 0.0))
+        w = np.where(hit, w, 0.0)
+        sel = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        for k, (i, j) in enumerate(sel):
+            WS[:, k] += w * sinv[:, i, j]
+        WSr += w[:, None] * sr
+        count += hit.astype(np.float32)
+        qsum += np.where(hit, q, 0.0)
+    return WS, WSr, count, qsum
+
+
+def test_fused_moments_match_gather_path():
+    """The fused direct7 kernel (interpret mode) reproduces the explicit
+    7-offset gather moments: WS, Σ w S r (via WS·x′ − WSμ′), neighbor
+    count and Σq agree to f32-grade tolerance."""
+    from fpcr_tpu.ops.ndt import cell_key_order, gauss_d1_d2
+    from fpcr_tpu.ops.ndt_pallas import (ndt_fused_moments,
+                                         prepare_fused_tables)
+
+    rng = np.random.default_rng(23)
+    pts = rng.uniform(0, 2.0, (6000, 3)).astype(np.float32)
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    src = jnp.asarray(pts + rng.normal(0, 0.02, pts.shape).astype(np.float32))
+    src = jnp.take(src, cell_key_order(src, grid), axis=0)
+    d1f, d2f = gauss_d1_d2(0.55, 0.25)
+    d1f = abs(d1f)
+    offsets = [None, (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+               (0, 0, 1), (0, 0, -1)]
+    WS, WSr, count, qsum = _reference_moments(src, grid, d1f, d2f, offsets)
+
+    tables = prepare_fused_tables(grid)
+    rows, xp = ndt_fused_moments(
+        src, grid, tables, voxel_size=0.25, d1=d1f, d2=d2f,
+        chunk=256, window=256)
+    rows, xp = np.asarray(rows), np.asarray(xp)
+
+    # the band covers the full neighborhood on this cloud: counts match
+    np.testing.assert_array_equal(rows[:, 10], count)
+    # atol covers the split-pair truncation floor; rtol covers exp-
+    # amplified q error on large-|S| (eig-clamped) rows: the weight's
+    # relative error is ~d2/2 × 2⁻²⁴ × the bilinear expansion scale
+    scale = np.abs(WS).max()
+    np.testing.assert_allclose(rows[:, 0:6], WS, rtol=2e-3,
+                               atol=2e-4 * scale)
+    sr_fused = np.stack([
+        rows[:, 0] * xp[:, 0] + rows[:, 1] * xp[:, 1]
+        + rows[:, 2] * xp[:, 2] - rows[:, 6],
+        rows[:, 1] * xp[:, 0] + rows[:, 3] * xp[:, 1]
+        + rows[:, 4] * xp[:, 2] - rows[:, 7],
+        rows[:, 2] * xp[:, 0] + rows[:, 4] * xp[:, 1]
+        + rows[:, 5] * xp[:, 2] - rows[:, 8],
+    ], axis=1)
+    np.testing.assert_allclose(sr_fused, WSr,
+                               atol=2e-3 * max(np.abs(WSr).max(), 1.0))
+    np.testing.assert_allclose(qsum, rows[:, 11],
+                               atol=1e-3 * max(qsum.max(), 1.0))
+
+
+def test_run_ndt_fused_registers():
+    """Full NDT loop on the fused Pallas moments (interpret mode)."""
+    scene = f.synthetic_scene(width=48)
+    gt = f.gt_transform((0.02, -0.015, 0.01), (0.03, -0.02, 0.015))
+    tgt = gt.apply(scene.source)
+    res = run_ndt(scene.source, tgt,
+                  NDTConfig(voxel_size=0.4, max_iterations=60,
+                            lookup="banded", lookup_impl="pallas",
+                            lookup_chunk=256, lookup_window=256))
+    assert bool(res.converged)
+    assert float(f.transform_rmse(res.transform, gt, scene.source)) < 5e-3
