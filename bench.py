@@ -162,6 +162,37 @@ def main() -> None:
         except Exception:
             plane_ms = None
 
+    # NDT on the same scene size (no reference baseline — beyond-reference
+    # capability; the fused direct7 Pallas kernel, BENCH_NOTES §NDT)
+    ndt_ms = None
+    ndt_err = None
+    if args.metric == "point" and platform == "tpu":
+        try:
+            from fpcr_tpu.models.ndt import NDTConfig, run_ndt
+            gt_n = f.gt_transform((0.004, -0.002, 0.003),
+                                  (0.002, -0.003, 0.002))
+            tgt_n = jax.device_put(gt_n.apply(scene.source))
+            grid = f.build_ndt_grid(tgt_n, 0.12)
+            jax.block_until_ready(grid.table)
+
+            def make_ndt(iters):
+                cfg = NDTConfig(voxel_size=0.12, max_iterations=iters,
+                                tolerance=0.0, lookup="banded",
+                                lookup_impl="auto")
+                def run(s, t):
+                    return run_ndt(s, t, cfg, grid=grid)
+                float(run(source, tgt_n).errors[0])
+                return run
+            n_lo = _timed_run(make_ndt(args.lo), source, tgt_n, eps, 3)
+            n_hi = _timed_run(make_ndt(args.hi), source, tgt_n, eps, 3)
+            ndt_ms = (n_hi - n_lo) * 1e3 / (args.hi - args.lo)
+            if ndt_ms <= 0:
+                ndt_ms = n_hi * 1e3 / args.hi
+            ndt_err = float(
+                make_ndt(args.hi)(source, tgt_n).errors[args.hi - 1])
+        except Exception:
+            ndt_ms = None
+
     res = run_hi(source, target)
     details = {
         "platform": platform,
@@ -180,6 +211,8 @@ def main() -> None:
         "plane_vs_baseline": (None if plane_ms is None else round(
             plane_ms / BASELINE_PLANE_MS_PER_ITER_16384, 4)),
         "plane_final_error": plane_err,
+        "ndt_ms_per_iter": None if ndt_ms is None else round(ndt_ms, 4),
+        "ndt_final_error": ndt_err,
         "plane_baseline": {
             "ms_per_iter": BASELINE_PLANE_MS_PER_ITER_16384,
             "hardware": "RTX 2060",
