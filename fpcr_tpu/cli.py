@@ -58,13 +58,14 @@ def _cmd_run(args) -> int:
     else:  # pragma: no cover
         raise SystemExit(f"unknown dataset {args.dataset}")
 
+    matcher = args.matcher or ("morton" if args.tune_morton else "xla")
     config = f.ICPConfig(
         metric=args.metric,
         max_iterations=args.max_iter,
         tolerance=args.tol,
         k_neighbors=args.k,
         solver=args.solver,
-        matcher=args.matcher,
+        matcher=matcher,
         strict_reference=args.strict_reference,
         max_correspondence_dist=args.trim_dist,
         robust_loss=args.robust,
@@ -75,6 +76,13 @@ def _cmd_run(args) -> int:
         morton_rescue=args.morton_rescue,
     )
     if args.tune_morton:
+        # tune_morton's contract is a morton config; refuse the silent
+        # override of an explicitly different matcher choice
+        if args.matcher not in (None, "morton"):
+            print(f"error: --tune-morton tunes the morton matcher and "
+                  f"cannot be combined with --matcher {args.matcher}",
+                  file=sys.stderr)
+            return 2
         config = f.tune_morton(scene.source, scene.target, config)
         print(f"# tune_morton: shifts={config.morton_shifts} "
               f"rescue={config.morton_rescue}", file=sys.stderr)
@@ -226,7 +234,9 @@ def main(argv=None) -> int:
     run.add_argument("--tol", type=float, default=1e-6)
     run.add_argument("--k", type=int, default=4, help="normals kNN size")
     run.add_argument("--solver", default="svd", choices=["svd", "polar"])
-    run.add_argument("--matcher", default="xla", choices=["xla", "pallas", "grid", "morton"])
+    run.add_argument("--matcher", default=None,
+                     choices=["xla", "pallas", "grid", "morton"],
+                     help="default: xla (morton when --tune-morton)")
     run.add_argument("--strict-reference", action="store_true",
                      help="exact reference math (no det(R) correction)")
     run.add_argument("--trim-dist", type=float, default=None,

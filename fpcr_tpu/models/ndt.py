@@ -46,7 +46,9 @@ class NDTConfig:
     # per occupied surface voxel)
     voxel_size: Optional[float] = None
     max_iterations: int = 50
-    tolerance: float = 1e-6       # stop when |δ| drops below this
+    # stop when the GN step norm drops below this (|δθ| absolute;
+    # |δt| scale-relative — normalized by 1 + |source centroid|)
+    tolerance: float = 1e-6
     outlier_ratio: float = 0.55   # Magnusson mixture weight (PCL default)
     min_points: int = 4           # voxel occupancy floor
     eig_ratio: float = 0.01      # covariance eigenvalue clamp
@@ -102,6 +104,77 @@ def _resolve_lookup(config: NDTConfig, n: int) -> NDTConfig:
         return config
     mode = "banded" if n >= config.lookup_threshold else "gather"
     return dataclasses.replace(config, lookup=mode)
+
+
+_FUSED_WINDOW_CAP = 3968  # band <= ~8.2k rows: ~4.5 MB VMEM buffers
+
+
+def _resolve_fused(config: NDTConfig, grid,
+                   source: Optional[jnp.ndarray] = None) -> NDTConfig:
+    """Pin ``lookup_impl='auto'`` for THIS grid (host-side, one-time).
+
+    The fused kernel reads ONE band per chunk (centered on the chunk's
+    probe rank), so a query's ±x face neighbor — ~one x-plane of table
+    rows away — must sit within the band or it silently reads as a miss
+    (ops/ndt_pallas.py "banded miss semantics"). Both quantities are
+    computable from the concrete tables: the x±1 rank distance is
+    bounded by the row count of the two adjacent x-planes (``D``), and
+    the per-chunk query rank spread ``S`` from the initial source's
+    sorted keys. One-sided band reach is chunk/2 + window, the worst
+    query sits ``S`` below the probe, so coverage needs
+    ``window >= D + S_slack − chunk/2`` (``S_slack = 2·S + 128`` —
+    iterations move points by at most a few voxels). Policy: escalate
+    the window to cover it (rounded to 128); past ``_FUSED_WINDOW_CAP``
+    fall back to the per-offset XLA banded path, whose per-offset
+    probes re-center every band and have no such bound.
+    """
+    if config.lookup != "banded" or config.lookup_impl == "xla":
+        return (config if config.lookup_impl != "auto"
+                else dataclasses.replace(config, lookup_impl="xla"))
+    import numpy as np
+
+    from ..ops.ndt import _AXIS_BITS, _KEY_PAD, _cells_raw, _pack
+
+    keys = np.asarray(grid.keys)
+    keys = keys[keys != _KEY_PAD]
+    cx = (keys >> (2 * _AXIS_BITS)) & ((1 << _AXIS_BITS) - 1)
+    counts = np.bincount(cx, minlength=2)
+    adj = counts[:-1] + counts[1:]
+    d_max = int(adj.max()) if adj.size else 0
+    spread = 0
+    if source is not None and source.shape[0] > 0:
+        c = np.asarray(_cells_raw(source.astype(jnp.float32), grid.lo,
+                                  grid.voxel_size))
+        sk = np.sort(np.asarray(
+            _pack(jnp.asarray(np.clip(c, 0, (1 << _AXIS_BITS) - 1)))))
+        ranks = np.searchsorted(keys, sk)
+        ch = config.lookup_chunk
+        n_full = (ranks.shape[0] // ch) * ch
+        if n_full:
+            r2 = ranks[:n_full].reshape(-1, ch)
+            spread = int((r2[:, -1] - r2[:, 0]).max())
+        if ranks.shape[0] > n_full:
+            spread = max(spread, int(ranks[-1] - ranks[n_full]))
+    needed = max(d_max + 2 * spread + 128 - config.lookup_chunk // 2, 0)
+    if needed <= config.lookup_window:
+        impl = "pallas"
+    elif needed <= _FUSED_WINDOW_CAP:
+        impl = "pallas"
+        config = dataclasses.replace(
+            config, lookup_window=-(-needed // 128) * 128)
+    elif config.lookup_impl == "pallas":
+        # explicit pallas: best effort at the cap (the documented banded
+        # miss semantics apply to whatever the cap cannot cover)
+        impl = "pallas"
+        config = dataclasses.replace(config, lookup_window=_FUSED_WINDOW_CAP)
+    else:
+        impl = "xla"
+    if config.lookup_impl == "auto":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            impl = "xla"
+    return dataclasses.replace(config, lookup_impl=impl)
 
 
 def _assemble_Hg(w, s, sr, y):
@@ -325,11 +398,16 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
                    else jnp.float32(x.shape[0]))
         frac = (_psum(jnp.sum(any_hit.astype(jnp.float32)))
                 / jnp.maximum(_psum(n_valid), 1.0))
-        # scale-relative step norm: at coordinate magnitude |c| the f32
-        # representable floor of the pose is ~|c|·eps per op, so an
-        # absolute |δ| < tol test can never fire far from the origin —
-        # normalize by (1 + |c|) to make the tolerance scale-free
-        dn = jnp.linalg.norm(delta) / (1.0 + jnp.linalg.norm(c))
+        # scale-relative step norm, TRANSLATION ONLY: at coordinate
+        # magnitude |c| the f32 representable floor of the translation is
+        # ~|c|·eps per op, so an absolute |δt| < tol test can never fire
+        # far from the origin — normalize δt by (1 + |c|). The rotation
+        # step is centroid-anchored (lever = cloud extent, not |c|) and
+        # its entries are O(1) radians: scaling it too would loosen the
+        # rotation tolerance ~|c|× for global-frame clouds.
+        dn = jnp.sqrt(jnp.sum(jnp.square(delta[0:3]))
+                      / jnp.square(1.0 + jnp.linalg.norm(c))
+                      + jnp.sum(jnp.square(delta[3:6])))
         return (R_new, t_new, it + 1, err_hist,
                 jnp.where(finite, dn, jnp.inf), frac)
 
@@ -388,6 +466,7 @@ def run_ndt(
                               min_points=config.min_points,
                               eig_ratio=config.eig_ratio)
     config = _resolve_lookup(config, src.shape[0])
+    config = _resolve_fused(config, grid, src)
     src_run = src
     if config.lookup == "banded":
         # band reads need voxel-key-coherent rows; the solve is

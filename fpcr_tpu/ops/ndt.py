@@ -217,6 +217,13 @@ def ndt_lookup(
     key_match = ((row[:, 10] == (k >> 15).astype(jnp.float32))
                  & (row[:, 11] == (k & 0x7FFF).astype(jnp.float32)))
     hit = key_match & (row[:, 9] > 0.5) & inb
+    return _unpack_rows(row, hit)
+
+
+def _unpack_rows(row: jnp.ndarray, hit: jnp.ndarray):
+    """Decode fused-table rows (``NDTGrid.table`` lane layout
+    [mu(3)|sinv(6)|valid|key_hi|key_lo|pad]) to ``(mu, sinv, hit)`` —
+    the one place the layout is read back."""
     mu = row[:, 0:3]
     s00, s01, s02 = row[:, 3], row[:, 4], row[:, 5]
     s11, s12, s22 = row[:, 6], row[:, 7], row[:, 8]
@@ -325,16 +332,7 @@ def ndt_lookup_banded(
     hit = hits.reshape(n_pad)[:n]
 
     hit = hit & (row[:, 9] > 0.5) & inb
-    mu = row[:, 0:3]
-    s00, s01, s02 = row[:, 3], row[:, 4], row[:, 5]
-    s11, s12, s22 = row[:, 6], row[:, 7], row[:, 8]
-    sinv = jnp.stack([
-        jnp.stack([s00, s01, s02], axis=-1),
-        jnp.stack([s01, s11, s12], axis=-1),
-        jnp.stack([s02, s12, s22], axis=-1),
-    ], axis=-2)
-    sinv = jnp.where(hit[:, None, None], sinv, 0.0)
-    return mu, sinv, hit
+    return _unpack_rows(row, hit)
 
 
 def cell_key_order(points: jnp.ndarray, grid: NDTGrid) -> jnp.ndarray:

@@ -204,9 +204,10 @@ def distributed_ndt(
     grid = build_ndt_grid(target, config.voxel_size, target_mask,
                           min_points=config.min_points,
                           eig_ratio=config.eig_ratio)
-    from ..models.ndt import _resolve_lookup
+    from ..models.ndt import _resolve_fused, _resolve_lookup
 
     config = _resolve_lookup(config, n)
+    config = _resolve_fused(config, grid, src)
     order = None
     if config.lookup == "banded":
         # global voxel-key sort BEFORE sharding: each shard then holds a

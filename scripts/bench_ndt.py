@@ -30,11 +30,11 @@ def bench(n: int, lookup: str, lo=4, hi=16, repeats=3, chunk=512,
     rng = np.random.default_rng(0)
     # surface-like cloud (z = x^2 - y^2 saddle + noise) so voxel occupancy
     # resembles a scan, not a solid volume
-    w = int(np.sqrt(n))
+    w = int(np.ceil(np.sqrt(n)))  # w*w >= n so the slice is exactly n rows
     ax = np.linspace(-2, 2, w, dtype=np.float32)
     xs, ys = np.meshgrid(ax, ax, indexing="ij")
     pts = np.stack([xs.ravel(), ys.ravel(), (xs * xs - ys * ys).ravel()], 1)
-    pts = pts[:n] + rng.normal(0, 0.002, (min(n, pts.shape[0]), 3)).astype(np.float32)
+    pts = pts[:n] + rng.normal(0, 0.002, (n, 3)).astype(np.float32)
     src = jax.device_put(np.asarray(pts, np.float32))
     gt = f.gt_transform((0.004, -0.002, 0.003), (0.002, -0.003, 0.002))
     tgt = jax.device_put(gt.apply(src))

@@ -383,3 +383,82 @@ def test_run_ndt_fused_registers():
                             lookup_chunk=256, lookup_window=256))
     assert bool(res.converged)
     assert float(f.transform_rmse(res.transform, gt, scene.source)) < 5e-3
+
+
+def test_fused_window_escalation_covers_wide_xplanes():
+    """The fused band kernel's coverage policy: on a grid whose x-planes
+    exceed the configured window, `_resolve_fused` escalates the window
+    so x±1 face neighbors stay inside the band; without escalation those
+    neighbors silently read as misses (the adversarial case the policy
+    exists for)."""
+    from fpcr_tpu.models.ndt import _resolve_fused
+    from fpcr_tpu.ops.ndt import cell_key_order
+    from fpcr_tpu.ops.ndt_pallas import (ndt_fused_moments,
+                                         prepare_fused_tables)
+
+    # plane-dominant cloud: dense (y, z) sheets at a few x stations →
+    # each x-plane of the voxel table has ~20x20 = 400 rows
+    rng = np.random.default_rng(7)
+    ys, zs = np.meshgrid(np.linspace(0, 5.0, 40, dtype=np.float32),
+                         np.linspace(0, 5.0, 40, dtype=np.float32),
+                         indexing="ij")
+    sheets = []
+    for xi in range(6):
+        sheet = np.stack([np.full(ys.size, 0.25 * xi, np.float32),
+                          ys.ravel(), zs.ravel()], 1)
+        sheets.append(sheet + rng.normal(0, 0.01, sheet.shape
+                                         ).astype(np.float32))
+    pts = np.concatenate(sheets)  # 9600 points, 6 dense x-planes
+    for _ in range(2):  # >= min_points per voxel
+        pts = np.concatenate(
+            [pts, pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)])
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    src = jnp.asarray(pts[: 4096] + 0.02)
+    src = jnp.take(src, cell_key_order(src, grid), axis=0)
+
+    cfg = NDTConfig(voxel_size=0.25, lookup="banded", lookup_impl="pallas",
+                    lookup_chunk=256, lookup_window=256)
+    cfg2 = _resolve_fused(cfg, grid, src)
+    assert cfg2.lookup_impl == "pallas"
+    assert cfg2.lookup_window > cfg.lookup_window  # escalated
+
+    d1f, d2f = gauss_d1_d2(0.55, 0.25)
+    d1f = abs(d1f)
+    offsets = [None, (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+               (0, 0, 1), (0, 0, -1)]
+    _, _, count_ref, _ = _reference_moments(src, grid, d1f, d2f, offsets)
+
+    tables = prepare_fused_tables(grid)
+    rows_esc, _ = ndt_fused_moments(
+        src, grid, tables, voxel_size=0.25, d1=d1f, d2=d2f,
+        chunk=cfg2.lookup_chunk, window=cfg2.lookup_window)
+    np.testing.assert_array_equal(
+        np.asarray(rows_esc)[:, 10], count_ref)
+
+    # prove the test is adversarial: the UN-escalated window misses
+    rows_256, _ = ndt_fused_moments(
+        src, grid, tables, voxel_size=0.25, d1=d1f, d2=d2f,
+        chunk=256, window=256)
+    assert (np.asarray(rows_256)[:, 10] < count_ref).any()
+
+
+def test_fused_window_cap_falls_back_to_xla():
+    """Past `_FUSED_WINDOW_CAP` the auto policy must pick the per-offset
+    XLA banded path instead of a fused band that cannot cover x±1."""
+    from fpcr_tpu.models.ndt import (_FUSED_WINDOW_CAP, _resolve_fused,
+                                     NDTConfig)
+    from fpcr_tpu.ops.ndt import NDTGrid
+
+    m = 2 * (_FUSED_WINDOW_CAP + 1024)  # two x-planes, each > the cap
+    cx = np.repeat(np.array([3, 4], np.int64), m // 2)
+    cy = np.tile(np.arange(m // 2, dtype=np.int64) // 64, 2)
+    cz = np.tile(np.arange(m // 2, dtype=np.int64) % 64, 2)
+    keys = jnp.asarray(np.sort((cx << 20) | (cy << 10) | cz),
+                       jnp.int32)
+    grid = NDTGrid(keys=keys, mu=jnp.zeros((m, 3)),
+                   sinv=jnp.zeros((m, 3, 3)),
+                   valid=jnp.ones((m,), bool),
+                   lo=jnp.zeros((3,)), voxel_size=jnp.float32(0.25),
+                   table=jnp.zeros((m, 16)))
+    cfg = NDTConfig(voxel_size=0.25, lookup="banded", lookup_impl="auto")
+    assert _resolve_fused(cfg, grid).lookup_impl == "xla"
