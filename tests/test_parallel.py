@@ -155,6 +155,31 @@ def test_distributed_ndt_banded_lookup(mesh8):
         np.asarray(dist.transform.apply(scene.source)), atol=1e-5)
 
 
+def test_distributed_ndt_fused_pallas(mesh8):
+    """The fused Pallas moments kernel under shard_map (interpret mode on
+    the CPU mesh): each shard band-reads its local coherent block against
+    the replicated tables; the H/g psums must reproduce the single-device
+    fused run and recover GT."""
+    from fpcr_tpu.models.ndt import NDTConfig, run_ndt
+    from fpcr_tpu.parallel.dist_icp import distributed_ndt
+
+    scene = f.synthetic_scene(width=48)
+    gt = f.gt_transform((0.02, -0.015, 0.01), (0.03, -0.02, 0.015))
+    tgt = gt.apply(scene.source)
+    cfg = NDTConfig(voxel_size=0.4, max_iterations=50, lookup="banded",
+                    lookup_impl="pallas", lookup_chunk=256,
+                    lookup_window=256)
+    single = run_ndt(scene.source, tgt, cfg)
+    dist = distributed_ndt(scene.source, tgt, cfg, mesh=mesh8)
+    np.testing.assert_allclose(np.asarray(dist.transform.rotation),
+                               np.asarray(single.transform.rotation),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dist.transform.translation),
+                               np.asarray(single.transform.translation),
+                               atol=1e-5)
+    assert float(f.transform_rmse(dist.transform, gt, scene.source)) < 5e-3
+
+
 @pytest.mark.slow
 def test_multihost_two_process_dryrun():
     """Real multi-controller validation: 2 OS processes x 4 virtual CPU
