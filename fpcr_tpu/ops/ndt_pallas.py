@@ -421,11 +421,26 @@ def ndt_fused_moments(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # Explicit VMEM budget, two jobs: (a) without it XLA may promote the
+    # whole [num_chunks, 16, chunk] output into scoped VMEM whenever it
+    # lands under the 16 MiB scoped limit (measured: n=262144 → 16.78 MiB
+    # → HBM, fine; n=259200 → 15.84 MiB → promoted → compile OOM);
+    # (b) the kernel's [band, chunk] f32 temporaries (dc/qm/mask/w/…)
+    # grow with the escalated window and need headroom beyond the 16 MiB
+    # default. Budget = double-buffered band reads + ~8 live [band,chunk]
+    # temporaries + blocks/slack, capped under the v5e 128 MiB VMEM.
+    vmem_budget = min(
+        2 * (96 * band * 2 + _TAB_LANES * band * 4)
+        + 8 * band * chunk * 4
+        + 4 * (96 * u * chunk * 2) + 2 * u * _TAB_LANES * chunk * 4
+        + 4 * 1024 * 1024,
+        100 * 1024 * 1024)
     (rows,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((num_chunks, _TAB_LANES, chunk),
                                         jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
         interpret=interpret,
     )(bases, pk, cqcell, cqmono, cellpk, tabT)
 
