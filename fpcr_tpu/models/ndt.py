@@ -63,7 +63,13 @@ class NDTConfig:
     lookup: str = "auto"
     lookup_threshold: int = 65536
     lookup_chunk: int = 512       # source rows per band read
-    lookup_window: int = 512      # table rows each side of the probe rank
+    # table rows each side of the probe rank. None = auto: the fused
+    # path sizes it from the concrete key table (coverage requirement,
+    # floor 256 / cap 3968 — see _resolve_fused), shrinking the band
+    # where the geometry allows and escalating where it demands; the
+    # XLA per-offset path resolves None to 512. An explicit int is
+    # respected (escalated only when coverage requires more).
+    lookup_window: Optional[int] = None
     # banded implementation: 'pallas' (the fused direct7 kernel — one
     # band pass computes the whole neighborhood's GN moments, see
     # ops/ndt_pallas.py) | 'xla' (per-offset dynamic_slice bands) |
@@ -129,8 +135,12 @@ def _resolve_fused(config: NDTConfig, grid,
     probes re-center every band and have no such bound.
     """
     if config.lookup != "banded" or config.lookup_impl == "xla":
-        return (config if config.lookup_impl != "auto"
-                else dataclasses.replace(config, lookup_impl="xla"))
+        return dataclasses.replace(
+            config,
+            lookup_impl=("xla" if config.lookup_impl == "auto"
+                         else config.lookup_impl),
+            lookup_window=(512 if config.lookup_window is None
+                           else config.lookup_window))
     import numpy as np
 
     from ..ops.ndt import _AXIS_BITS, _KEY_PAD, _cells_raw, _pack
@@ -156,17 +166,24 @@ def _resolve_fused(config: NDTConfig, grid,
         if ranks.shape[0] > n_full:
             spread = max(spread, int(ranks[-1] - ranks[n_full]))
     needed = max(d_max + 2 * spread + 128 - config.lookup_chunk // 2, 0)
-    if needed <= config.lookup_window:
+    auto_w = config.lookup_window is None
+    window = 512 if auto_w else config.lookup_window
+    if auto_w and needed <= _FUSED_WINDOW_CAP:
+        # auto window: size the band to the measured requirement — shrink
+        # where the geometry allows (less kernel work), escalate where it
+        # demands (coverage)
+        impl = "pallas"
+        window = min(max(-(-needed // 128) * 128, 256), _FUSED_WINDOW_CAP)
+    elif needed <= window:
         impl = "pallas"
     elif needed <= _FUSED_WINDOW_CAP:
         impl = "pallas"
-        config = dataclasses.replace(
-            config, lookup_window=-(-needed // 128) * 128)
+        window = -(-needed // 128) * 128
     elif config.lookup_impl == "pallas":
         # explicit pallas: best effort at the cap (the documented banded
         # miss semantics apply to whatever the cap cannot cover)
         impl = "pallas"
-        config = dataclasses.replace(config, lookup_window=_FUSED_WINDOW_CAP)
+        window = _FUSED_WINDOW_CAP
     else:
         impl = "xla"
     if config.lookup_impl == "auto":
@@ -174,7 +191,8 @@ def _resolve_fused(config: NDTConfig, grid,
 
         if jax.default_backend() != "tpu":
             impl = "xla"
-    return dataclasses.replace(config, lookup_impl=impl)
+    return dataclasses.replace(config, lookup_impl=impl,
+                               lookup_window=window)
 
 
 def _assemble_Hg(w, s, sr, y):
@@ -276,6 +294,9 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
     impl = config.lookup_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # direct _ndt_loop callers may bypass _resolve_fused; default the
+    # auto window locally
+    win = 512 if config.lookup_window is None else config.lookup_window
     fused = config.lookup == "banded" and impl == "pallas"
     if fused:
         from ..ops.ndt_pallas import ndt_fused_moments, prepare_fused_tables
@@ -288,7 +309,7 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
             return ndt_fused_moments(
                 x, grid, tables, voxel_size=float(config.voxel_size),
                 d1=d1f, d2=d2f, neighborhood=config.neighborhood,
-                chunk=config.lookup_chunk, window=config.lookup_window,
+                chunk=config.lookup_chunk, window=win,
                 source_mask=source_mask)
     elif config.lookup == "banded":
         from ..ops.ndt import ndt_lookup_banded
@@ -296,7 +317,7 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
         def lookup_fn(x, g, off):
             return ndt_lookup_banded(x, g, cell_offset=off,
                                      chunk=config.lookup_chunk,
-                                     window=config.lookup_window)
+                                     window=win)
     else:  # 'gather' ('auto' is resolved to a concrete choice upstream)
         def lookup_fn(x, g, off):
             return ndt_lookup(x, g, cell_offset=off)

@@ -421,20 +421,28 @@ def ndt_fused_moments(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # Explicit VMEM budget, two jobs: (a) without it XLA may promote the
-    # whole [num_chunks, 16, chunk] output into scoped VMEM whenever it
-    # lands under the 16 MiB scoped limit (measured: n=262144 → 16.78 MiB
-    # → HBM, fine; n=259200 → 15.84 MiB → promoted → compile OOM);
-    # (b) the kernel's [band, chunk] f32 temporaries (dc/qm/mask/w/…)
-    # grow with the escalated window and need headroom beyond the 16 MiB
-    # default. Budget = double-buffered band reads + ~8 live [band,chunk]
-    # temporaries + blocks/slack, capped under the v5e 128 MiB VMEM.
-    vmem_budget = min(
+    # Explicit VMEM budget. Two measured facts drive it (BENCH_NOTES
+    # "VMEM pitfall"): (a) XLA promotes the [num_chunks, 16, chunk]
+    # output into scoped VMEM whenever it fits the scoped limit, which
+    # compile-OOMs together with the kernel's buffers when the output
+    # lands just under it (n=259200 → 15.84 MiB → OOM at the default
+    # 16 MiB) and runs ~25% SLOWER when funded (33 MiB budget → 3.9 vs
+    # 3.1 ms/iter at 262k) — so the budget must stay BELOW the output
+    # size to pin it to HBM; (b) Mosaic schedules the [band, chunk] f32
+    # temporaries (dc/qm/mask/w/…) within the budget by fusing and
+    # freeing — peak live is ~2.5 arrays (an 8 MiB limit compiles and
+    # runs at band 1664 where 8 naive temporaries would be 27 MiB).
+    # When the escalated window pushes internals past the output size,
+    # promotion can't be blocked — fund both instead (correct, slower).
+    out_bytes = num_chunks * _TAB_LANES * chunk * 4
+    vmem_budget = max(
         2 * (96 * band * 2 + _TAB_LANES * band * 4)
-        + 8 * band * chunk * 4
+        + (5 * band * chunk * 4) // 2
         + 4 * (96 * u * chunk * 2) + 2 * u * _TAB_LANES * chunk * 4
-        + 4 * 1024 * 1024,
-        100 * 1024 * 1024)
+        + 2 * 1024 * 1024,
+        8 * 1024 * 1024)
+    if vmem_budget >= out_bytes:
+        vmem_budget = min(vmem_budget + out_bytes, 100 * 1024 * 1024)
     (rows,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

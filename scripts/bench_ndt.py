@@ -26,7 +26,7 @@ from fpcr_tpu.models.ndt import NDTConfig, run_ndt  # noqa: E402
 
 
 def bench(n: int, lookup: str, lo=4, hi=16, repeats=3, chunk=512,
-          window=512, impl="auto", csv=None):
+          window=None, impl="auto", csv=None):
     rng = np.random.default_rng(0)
     # surface-like cloud (z = x^2 - y^2 saddle + noise) so voxel occupancy
     # resembles a scan, not a solid volume
@@ -93,10 +93,11 @@ if __name__ == "__main__":
     sizes = args or ["16384", "262144"]
     for s in sizes:
         n = int(s)
-        # small-N iterations cost ~the tunnel RPC noise floor; widen the
-        # slope window so the subtraction resolves them (same practice as
+        # the fused kernel is fast enough that a short slope window sits
+        # inside the tunnel RPC noise floor at EVERY size; widen the
+        # window so the subtraction resolves it (same practice as
         # scripts/tpu_sweep.py after VERDICT r2 "weak" #1)
-        hi = 128 if n <= 65536 else 16
+        hi = 128 if n <= 65536 else (64 if n <= 262144 else 32)
         if n <= 262144:
             bench(n, "gather", hi=hi, csv=csv)
         bench(n, "banded", impl="xla", hi=hi, csv=csv)
