@@ -1,5 +1,7 @@
 """NDT: voxel Gaussian grid build/lookup, registration, NDT+ICP pipeline."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -462,3 +464,25 @@ def test_fused_window_cap_falls_back_to_xla():
                    table=jnp.zeros((m, 16)))
     cfg = NDTConfig(voxel_size=0.25, lookup="banded", lookup_impl="auto")
     assert _resolve_fused(cfg, grid).lookup_impl == "xla"
+
+
+def test_fused_window_auto_shrinks_on_narrow_geometry():
+    """`lookup_window=None` sizes the band DOWN to the computed coverage
+    requirement (floor 256) on surface-like geometry whose x-planes are
+    small — less kernel work at identical coverage; an explicit window
+    is left alone."""
+    from fpcr_tpu.models.ndt import _resolve_fused
+    from fpcr_tpu.ops.ndt import cell_key_order
+
+    scene = f.synthetic_scene(width=96)
+    grid = build_ndt_grid(scene.target, 0.4)  # coarse voxels: small x-planes
+    src = jnp.take(scene.source,
+                   cell_key_order(scene.source, grid), axis=0)
+    cfg = NDTConfig(voxel_size=0.4, lookup="banded",
+                    lookup_impl="pallas", lookup_chunk=256)
+    auto = _resolve_fused(cfg, grid, src)
+    assert auto.lookup_impl == "pallas"
+    assert 256 <= auto.lookup_window < 512  # shrunk below the old fixed 512
+    explicit = _resolve_fused(
+        dataclasses.replace(cfg, lookup_window=512), grid, src)
+    assert explicit.lookup_window == 512  # explicit value respected
