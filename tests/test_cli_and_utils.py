@@ -180,3 +180,12 @@ def test_matched_fraction_recovers_on_partial_overlap():
     assert (frac > 0.2).all(), frac
     assert frac[-1] >= frac[0] - 1e-6, frac
     assert float(f.transform_rmse(res.transform, gt, src)) < 5e-3
+
+
+def test_cli_tune_morton_rejects_conflicting_matcher(capsys):
+    """--tune-morton tunes the morton matcher; an explicitly different
+    --matcher must error instead of being silently overridden."""
+    rc = cli_main(["run", "--dataset", "synthetic", "--width", "12",
+                   "--matcher", "xla", "--tune-morton"])
+    assert rc == 2
+    assert "cannot be combined" in capsys.readouterr().err
