@@ -141,6 +141,18 @@ def _resolve_fused(config: NDTConfig, grid,
                          else config.lookup_impl),
             lookup_window=(512 if config.lookup_window is None
                            else config.lookup_window))
+    if isinstance(grid.keys, jax.core.Tracer):
+        # under an outer jit the key table is abstract — the coverage
+        # computation needs concrete values. Keep the documented fixed-
+        # window behavior; call run_ndt un-jitted (it jits internally)
+        # to get the measured policy.
+        return dataclasses.replace(
+            config,
+            lookup_impl=(("pallas" if jax.default_backend() == "tpu"
+                          else "xla") if config.lookup_impl == "auto"
+                         else config.lookup_impl),
+            lookup_window=(512 if config.lookup_window is None
+                           else config.lookup_window))
     import numpy as np
 
     from ..ops.ndt import _AXIS_BITS, _KEY_PAD, _cells_raw, _pack
@@ -186,11 +198,8 @@ def _resolve_fused(config: NDTConfig, grid,
         window = _FUSED_WINDOW_CAP
     else:
         impl = "xla"
-    if config.lookup_impl == "auto":
-        import jax
-
-        if jax.default_backend() != "tpu":
-            impl = "xla"
+    if config.lookup_impl == "auto" and jax.default_backend() != "tpu":
+        impl = "xla"
     return dataclasses.replace(config, lookup_impl=impl,
                                lookup_window=window)
 
