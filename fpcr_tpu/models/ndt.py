@@ -87,6 +87,11 @@ class NDTConfig:
             raise ValueError(f"unknown lookup {self.lookup!r}")
         if self.lookup_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown lookup_impl {self.lookup_impl!r}")
+        if self.lookup_chunk <= 0:
+            raise ValueError("lookup_chunk must be positive")
+        if self.lookup_window is not None and self.lookup_window <= 0:
+            raise ValueError("lookup_window must be positive (or None "
+                             "for the auto-sized coverage window)")
 
 
 def resolve_voxel_size(config: NDTConfig, target: jnp.ndarray) -> NDTConfig:

@@ -486,3 +486,10 @@ def test_fused_window_auto_shrinks_on_narrow_geometry():
     explicit = _resolve_fused(
         dataclasses.replace(cfg, lookup_window=512), grid, src)
     assert explicit.lookup_window == 512  # explicit value respected
+
+
+def test_config_rejects_bad_lookup_geometry():
+    with pytest.raises(ValueError):
+        NDTConfig(voxel_size=0.2, lookup_chunk=0)
+    with pytest.raises(ValueError):
+        NDTConfig(voxel_size=0.2, lookup_window=-1)
