@@ -1,7 +1,8 @@
 """Example 1 — basic point-to-point registration (the reference's
 ICP_point_to_point workload: synthetic z=x²-y² grid, GT transform recovery).
 
-Run:  python examples/basic_registration.py [--cpu]
+Run:  python examples/basic_registration.py [--cpu] [--quick]
+(--quick shrinks the scene for fast smoke runs, e.g. in CI)
 """
 
 import os
@@ -20,7 +21,7 @@ import fpcr_tpu as f
 
 # the reference's canonical scene: 128x128 grid, t=(0.8,-0.3,0.2),
 # r=(0.2,-0.2,0.05) rad
-scene = f.synthetic_scene(width=128)
+scene = f.synthetic_scene(width=24 if "--quick" in sys.argv else 128)
 
 result = f.icp_point_to_point(
     scene.source, scene.target,

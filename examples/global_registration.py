@@ -5,7 +5,8 @@ example registers the Stanford Bunny from a pose that traps plain ICP in a
 local minimum, using FPFH features + hypothesis-parallel RANSAC for the
 coarse alignment, then ICP for the final 1e-7-grade pose.
 
-Run:  python examples/global_registration.py [--cpu]
+Run:  python examples/global_registration.py [--cpu] [--quick]
+(--quick subsamples the Bunny for fast smoke runs)
 """
 
 import os
@@ -22,6 +23,8 @@ import fpcr_tpu as f
 from fpcr_tpu.data.bunny import load_bunny
 
 source = load_bunny(resampled=True)  # 8,171 points
+if "--quick" in sys.argv:
+    source = source[::4]
 # a large unknown pose: 1.2 rad of rotation — far outside ICP's basin
 gt = f.gt_transform(translation=(0.1, -0.05, 0.08),
                     rotation_rad=(0.4, 1.2, -0.8))

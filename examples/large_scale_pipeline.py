@@ -2,7 +2,8 @@
 coarse-to-fine pipeline (brute subset ICP -> Morton-banded full-res ICP),
 plus the multi-chip variant when more than one device is visible.
 
-Run:  python examples/large_scale_pipeline.py [--cpu] [--width 512]
+Run:  python examples/large_scale_pipeline.py [--cpu] [--width 512] [--quick]
+(--quick = --width 64, for fast smoke runs)
 """
 
 import os
@@ -21,6 +22,8 @@ import fpcr_tpu as f
 from fpcr_tpu.models.pipeline import icp_coarse_to_fine
 
 width = 512  # 262,144 points; use 1024 for 1M+
+if "--quick" in sys.argv:
+    width = 64
 if "--width" in sys.argv:
     width = int(sys.argv[sys.argv.index("--width") + 1])
 

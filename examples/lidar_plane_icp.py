@@ -2,7 +2,8 @@
 scan, point-to-plane ICP with on-device PCA normals
 (GPU_point_to_plane_real.cu equivalent).
 
-Run:  python examples/lidar_plane_icp.py [--cpu]
+Run:  python examples/lidar_plane_icp.py [--cpu] [--quick]
+(--quick strides the scan to ~2k points for fast smoke runs)
 """
 
 import os
@@ -20,6 +21,9 @@ import numpy as np
 import fpcr_tpu as f
 
 scene = f.hall_scene()  # parse packets -> polar->Cartesian -> GT pair
+if "--quick" in sys.argv:
+    scene = f.RegistrationScene(scene.source[::8], scene.target[::8],
+                                scene.ground_truth)
 print(f"hall scan: {scene.source.shape[0]} points")
 
 result = f.icp_point_to_plane(

@@ -10,7 +10,8 @@ scans.
 
 The reference (brute-force CUDA ICP) has no NDT; see docs/api.md.
 
-Run:  python examples/ndt_map_tracking.py [--cpu]
+Run:  python examples/ndt_map_tracking.py [--cpu] [--quick]
+(--quick shrinks the map and the scan stream for fast smoke runs)
 """
 
 import os
@@ -30,6 +31,9 @@ from fpcr_tpu.models.ndt import NDTConfig, run_ndt
 
 
 def main():
+    # --quick cuts the scan stream, not the map: NDT accuracy depends on
+    # points-per-voxel, so shrinking the map would change the physics
+    quick = "--quick" in sys.argv
     # the "map": one saddle surface scan
     scene = f.synthetic_scene(width=64)
     map_cloud = scene.source
@@ -43,7 +47,7 @@ def main():
     # a stream of scans: the map observed from drifting poses
     rng = np.random.default_rng(0)
     pose_errors = []
-    for t in range(5):
+    for t in range(2 if quick else 5):
         gt = f.gt_transform(
             tuple(0.01 * rng.standard_normal(3)),   # rotation (rad)
             tuple(0.05 * rng.standard_normal(3)))   # translation

@@ -11,7 +11,8 @@ full 6×6 information-weighted edges — all on device.
 Also shows NDT (voxel Gaussian field) as the wide-basin alternative when
 a frame's displacement is too large for plain ICP.
 
-Run:  python examples/odometry_slam.py [--cpu]
+Run:  python examples/odometry_slam.py [--cpu] [--quick]
+(--quick shrinks frames/trajectory for fast smoke runs)
 """
 
 import os
@@ -30,9 +31,10 @@ import jax.numpy as jnp
 import fpcr_tpu as f
 
 rng = np.random.default_rng(0)
+QUICK = "--quick" in sys.argv
 world = np.asarray(f.synthetic_scene(width=64).source)  # 4,096 pts, x∈[-2,2]
-T = 12
-N = 1024
+T = 8 if QUICK else 12
+N = 512 if QUICK else 1024
 
 # ground-truth trajectory: the sensor sweeps +x and returns to the start
 # (which is what makes a 0 ↔ T-1 loop closure possible)

@@ -79,6 +79,8 @@ from .ops.solve import (
 from .data.synthetic import RegistrationScene, surface_grid, synthetic_scene, transformed_scene
 from .data.bunny import bunny_scene, load_bunny
 from .data.ouster import hall_scene, load_hall_scan
+from .data.pointcloud_io import (load_points, read_pcd, read_ply, write_pcd,
+                                 write_ply)
 
 __all__ = [
     "register",
@@ -112,6 +114,11 @@ __all__ = [
     "load_bunny",
     "hall_scene",
     "load_hall_scan",
+    "load_points",
+    "read_ply",
+    "write_ply",
+    "read_pcd",
+    "write_pcd",
     "RigidTransform",
     "MaskedCloud",
     "ICPConfig",

@@ -55,6 +55,20 @@ def _cmd_run(args) -> int:
         # strict=True (default) = the reference's op order (GT RyT applied
         # pre-scale); --hall-legacy keeps the harder r1/r2 variant
         scene = hall_scene(strict=not args.hall_legacy)
+    elif args.dataset == "files":
+        # user-supplied clouds (PLY / PCD / delimited text); no ground truth
+        if not args.source or not args.target:
+            print("error: --dataset files needs --source and --target",
+                  file=sys.stderr)
+            return 2
+        from .data.pointcloud_io import load_points
+        from .data.synthetic import RegistrationScene
+
+        scene = RegistrationScene(
+            source=jax.device_put(load_points(args.source)),
+            target=jax.device_put(load_points(args.target)),
+            ground_truth=None,
+        )
     else:  # pragma: no cover
         raise SystemExit(f"unknown dataset {args.dataset}")
 
@@ -141,7 +155,9 @@ def _cmd_run(args) -> int:
 
     ni = int(res.num_iterations)
     errors = np.asarray(res.errors)[:ni]
-    rmse_gt = float(f.transform_rmse(res.transform, scene.ground_truth, scene.source))
+    rmse_gt = (None if scene.ground_truth is None else
+               float(f.transform_rmse(res.transform, scene.ground_truth,
+                                      scene.source)))
 
     payload = {
         "dataset": args.dataset,
@@ -170,7 +186,8 @@ def _cmd_run(args) -> int:
         print("error sequence:")
         for i, e in enumerate(errors):
             print(f"  iter {i:3d}: {e:.6e}")
-        print(f"transform RMSE vs ground truth: {rmse_gt:.3e}")
+        if rmse_gt is not None:
+            print(f"transform RMSE vs ground truth: {rmse_gt:.3e}")
     if args.output:
         from .utils.csvout import write_json
 
@@ -225,9 +242,15 @@ def main(argv=None) -> int:
 
     run = sub.add_parser("run", help="register a dataset and print the error sequence")
     run.add_argument("--dataset", default="synthetic",
-                     choices=["synthetic", "bunny", "bunny-full", "hall"])
+                     choices=["synthetic", "bunny", "bunny-full", "hall",
+                              "files"])
     run.add_argument("--width", type=int, default=128,
                      help="synthetic grid width (N=width²)")
+    run.add_argument("--source", default=None,
+                     help="--dataset files: source cloud path "
+                          "(.ply/.pcd/.csv/.xyz)")
+    run.add_argument("--target", default=None,
+                     help="--dataset files: target cloud path")
     run.add_argument("--metric", default="point",
                      choices=["point", "plane", "symmetric", "gicp"])
     run.add_argument("--max-iter", type=int, default=40)

@@ -189,3 +189,29 @@ def test_cli_tune_morton_rejects_conflicting_matcher(capsys):
                    "--matcher", "xla", "--tune-morton"])
     assert rc == 2
     assert "cannot be combined" in capsys.readouterr().err
+
+
+def test_cli_run_files_dataset(tmp_path, capsys):
+    """--dataset files registers user-supplied PLY/PCD clouds (no GT)."""
+    import fpcr_tpu as f
+    from fpcr_tpu.data.pointcloud_io import write_pcd, write_ply
+
+    scene = f.synthetic_scene(width=12)
+    write_ply(tmp_path / "s.ply", np.asarray(scene.source))
+    write_pcd(tmp_path / "t.pcd", np.asarray(scene.target))
+    rc = cli_main(["run", "--dataset", "files",
+                   "--source", str(tmp_path / "s.ply"),
+                   "--target", str(tmp_path / "t.pcd"),
+                   "--max-iter", "30", "--json"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["n_source"] == 144
+    assert payload["converged"]
+    assert payload["transform_rmse_vs_gt"] is None
+    assert payload["final_error"] < 1e-5
+
+
+def test_cli_run_files_dataset_requires_paths(capsys):
+    rc = cli_main(["run", "--dataset", "files"])
+    assert rc == 2
+    assert "--source" in capsys.readouterr().err
