@@ -42,7 +42,10 @@ def main():
     grid = f.build_ndt_grid(map_cloud, 0.3)
     print(f"map grid: {int(np.asarray(grid.valid).sum())} occupied voxels")
 
-    cfg = NDTConfig(voxel_size=0.3, max_iterations=60)
+    # resolve the auto lookup/window policy ONCE against the grid — every
+    # run_ndt below then skips the per-call host-side coverage probe
+    cfg = f.resolve_ndt_config(
+        NDTConfig(voxel_size=0.3, max_iterations=60), grid, map_cloud)
 
     # a stream of scans: the map observed from drifting poses
     rng = np.random.default_rng(0)

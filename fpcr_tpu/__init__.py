@@ -57,7 +57,8 @@ from .models.global_reg import (
     global_registration,
     register_global,
 )
-from .models.ndt import NDTConfig, NDTResult, register_ndt, run_ndt
+from .models.ndt import (NDTConfig, NDTResult, register_ndt,
+                         resolve_ndt_config, run_ndt)
 from .models.registry import METHODS, register
 from .models.uncertainty import (
     information_from_covariance,
@@ -90,6 +91,7 @@ __all__ = [
     "run_sgd_icp",
     "run_ndt",
     "register_ndt",
+    "resolve_ndt_config",
     "optimize_pose_graph",
     "close_loops",
     "detect_loop_closures",

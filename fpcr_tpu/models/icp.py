@@ -675,16 +675,29 @@ def tune_morton(
         _, _, dmin, _ = _correspondences(
             p, tgt, target_mask, None,
             dataclasses.replace(cfg, morton_rescue=0), state)
-        stride = max(1, p.shape[0] // sample)
+        # ceil stride so the sample spans the WHOLE sorted cloud — floor
+        # would leave the highest-Morton-code tail (a whole curve corner,
+        # where top-bit seam misses concentrate) unprobed
+        stride = max(1, -(-p.shape[0] // sample))
         rows = jnp.arange(0, p.shape[0], stride)[:sample]
         _, d_e = nn_argmin(jnp.take(p, rows, axis=0), tgt, target_mask)
         d_b = jnp.take(dmin, rows)
-        # a miss must beat both a relative and an absolute floor — the
-        # banded and exact paths disagree by ~3e-7 absolute f32 noise
+        # a miss must beat both a relative and a scale-aware absolute
+        # floor. Both distance paths compute in expansion form, so their
+        # f32 disagreement scales with the COORDINATE magnitude |p|²
+        # (global-frame clouds at |p|~1e3 carry ~0.1 of rounding noise);
+        # what counts as *damaging* scales with the GEOMETRY extent
+        # (origin-independent). Absolute constants here would misread
+        # rounding noise as damaging misses far from the origin.
         excess = np.asarray(d_b - d_e)
         d_e_np = np.asarray(d_e)
-        miss = excess > np.maximum(1e-6, 1e-4 * d_e_np)
-        damaging = excess > 1e-4
+        p_np = np.asarray(p, dtype=np.float64)
+        abs2 = float(np.mean(np.sum(p_np ** 2, axis=1)))  # coord magnitude²
+        extent2 = float(np.mean(np.sum(
+            (p_np - p_np.mean(axis=0)) ** 2, axis=1)))    # geometry scale²
+        noise = max(1e-6 * max(extent2, 1e-12), 4e-6 * abs2)
+        miss = excess > np.maximum(noise, 1e-4 * d_e_np)
+        damaging = excess > max(1e-4 * max(extent2, 1e-12), 4.0 * noise)
         miss_rate = float(miss.mean())
         # rescue K sizing: EVERY damaging miss must be covered by its
         # banded distance; mild misses only down to the residual target

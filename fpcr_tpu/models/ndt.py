@@ -75,6 +75,10 @@ class NDTConfig:
     # ops/ndt_pallas.py) | 'xla' (per-offset dynamic_slice bands) |
     # 'auto' (pick the measured-faster path per backend)
     lookup_impl: str = "auto"
+    # set by resolve_ndt_config: every auto policy above is already pinned
+    # for a (grid, scan) pair — run_ndt skips the per-call host-side
+    # coverage probe (the streaming map-tracking fast path)
+    lookup_resolved: bool = False
 
     def __post_init__(self):
         if self.voxel_size is not None and self.voxel_size <= 0:
@@ -89,6 +93,12 @@ class NDTConfig:
             raise ValueError(f"unknown lookup_impl {self.lookup_impl!r}")
         if self.lookup_chunk <= 0:
             raise ValueError("lookup_chunk must be positive")
+        if self.lookup_chunk % 128:
+            # the fused Pallas path tiles [band, u·chunk] blocks whose lane
+            # dimension must be 128-aligned; fail here with a clear message
+            # instead of deep inside Mosaic
+            raise ValueError("lookup_chunk must be a multiple of 128 "
+                             f"(got {self.lookup_chunk})")
         if self.lookup_window is not None and self.lookup_window <= 0:
             raise ValueError("lookup_window must be positive (or None "
                              "for the auto-sized coverage window)")
@@ -120,6 +130,29 @@ def _resolve_lookup(config: NDTConfig, n: int) -> NDTConfig:
 _FUSED_WINDOW_CAP = 3968  # band <= ~8.2k rows: ~4.5 MB VMEM buffers
 
 
+def resolve_ndt_config(config: NDTConfig, grid,
+                       source: jnp.ndarray) -> NDTConfig:
+    """Pin every auto policy (lookup strategy, fused-band window, impl)
+    once for a (grid, representative scan) pair and mark the config
+    resolved, so streaming callers skip the per-call host-side coverage
+    probe in ``run_ndt``.
+
+    The map-tracking pattern::
+
+        grid = build_ndt_grid(map_cloud, 0.2)
+        cfg = resolve_ndt_config(NDTConfig(voxel_size=0.2), grid, scan0)
+        for scan in stream:
+            run_ndt(scan, map_cloud, cfg, grid=grid)   # no host probe
+
+    Without this, ``run_ndt`` re-runs the coverage computation every call
+    (a device sync + an O(n log n) host sort) and an auto window that
+    flips across a 128 boundary between scans recompiles the loop.
+    """
+    config = _resolve_lookup(config, int(source.shape[0]))
+    config = _resolve_fused(config, grid, source)
+    return dataclasses.replace(config, lookup_resolved=True)
+
+
 def _resolve_fused(config: NDTConfig, grid,
                    source: Optional[jnp.ndarray] = None) -> NDTConfig:
     """Pin ``lookup_impl='auto'`` for THIS grid (host-side, one-time).
@@ -139,6 +172,15 @@ def _resolve_fused(config: NDTConfig, grid,
     fall back to the per-offset XLA banded path, whose per-offset
     probes re-center every band and have no such bound.
     """
+    if config.lookup_resolved:
+        if (config.lookup == "banded"
+                and (config.lookup_impl == "auto"
+                     or config.lookup_window is None)):
+            raise ValueError(
+                "lookup_resolved=True needs concrete lookup_impl and "
+                "lookup_window — obtain the config from resolve_ndt_config "
+                "instead of setting the flag directly")
+        return config
     if config.lookup != "banded" or config.lookup_impl == "xla":
         return dataclasses.replace(
             config,
@@ -300,8 +342,9 @@ def _ndt_loop(source, grid: NDTGrid, config: NDTConfig,
     prec = jax.lax.Precision.HIGHEST
 
     if config.neighborhood == "direct7":
-        offsets = [None, (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
-                   (0, 0, 1), (0, 0, -1)]
+        from ..ops.ndt import DIRECT7_OFFSETS
+
+        offsets = list(DIRECT7_OFFSETS)
     else:
         offsets = [None]
 
@@ -486,14 +529,26 @@ def run_ndt(
         # constants and the direct7 neighborhood stepping must use the SAME
         # size the lookups quantize with, so a differing explicit
         # config.voxel_size is an error, not a silent override
-        gvs = float(grid.voxel_size)
-        if (config.voxel_size is not None
-                and abs(config.voxel_size - gvs) > 1e-6 * max(gvs, 1.0)):
-            raise ValueError(
-                f"config.voxel_size={config.voxel_size} disagrees with the "
-                f"prebuilt grid's voxel_size={gvs}; pass voxel_size=None "
-                "(it is taken from the grid) or rebuild the grid")
-        config = dataclasses.replace(config, voxel_size=gvs)
+        if isinstance(grid.voxel_size, jax.core.Tracer):
+            # outer-jit composition: the grid's size is abstract, so the
+            # mismatch check cannot run — require the caller to assert the
+            # resolution explicitly via config.voxel_size
+            if config.voxel_size is None:
+                raise ValueError(
+                    "run_ndt under an outer jit with a traced grid needs an "
+                    "explicit config.voxel_size (the grid's resolution is "
+                    "abstract at trace time); pass the size the grid was "
+                    "built with")
+        else:
+            gvs = float(grid.voxel_size)
+            if (config.voxel_size is not None
+                    and abs(config.voxel_size - gvs) > 1e-6 * max(gvs, 1.0)):
+                raise ValueError(
+                    f"config.voxel_size={config.voxel_size} disagrees with "
+                    f"the prebuilt grid's voxel_size={gvs}; pass "
+                    "voxel_size=None (it is taken from the grid) or rebuild "
+                    "the grid")
+            config = dataclasses.replace(config, voxel_size=gvs)
     elif config.voxel_size is None:
         config = resolve_voxel_size(config, target)
     if grid is None:

@@ -256,10 +256,13 @@ def ndt_lookup_banded(
       the source once by its cell key in the grid's frame before the loop;
       rigid iterates stay coherent — same contract as the Morton matcher);
     * each chunk of ``chunk`` consecutive points locates its key rank in
-      the ascending unique-key table with ONE searchsorted probe (the
-      chunk's middle key), then reads the contiguous table band
-      ``[rank−window, rank+window+chunk)`` with ``dynamic_slice`` — zero
-      random gathers;
+      the ascending unique-key table with ONE searchsorted probe — the
+      chunk's MAX valid key (robust to leading miss rows; and note the
+      asymmetry: every other query in the chunk sits BELOW the probe
+      rank, which is exactly what the ``_resolve_fused`` coverage policy
+      accounts for with its one-sided ``D + 2S + 128 − chunk/2`` bound) —
+      then reads the contiguous table band centered on it with
+      ``dynamic_slice`` — zero random gathers;
     * per point, the band row with the matching key is selected by an
       exact equality compare ``[chunk, band]`` (VPU) and extracted with a
       one-hot × band matmul on the MXU (HIGHEST precision — a default
@@ -363,3 +366,46 @@ def gauss_d1_d2(outlier_ratio: float, resolution: float) -> Tuple[float, float]:
     d1 = -math.log(c1 + c2) - d3
     d2 = -2.0 * math.log((-math.log(c1 * math.exp(-0.5) + c2) - d3) / d1)
     return d1, d2
+
+
+# the direct7 neighbor field: the point's own voxel + its 6 face neighbors
+# (Magnusson 2009 §6.3 sampling; None = no cell offset)
+DIRECT7_OFFSETS = (None, (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                   (0, 0, 1), (0, 0, -1))
+
+
+def reference_neighborhood_moments(src, grid, d1, d2,
+                                   offsets=DIRECT7_OFFSETS):
+    """Numpy oracle for the fused Pallas kernel: explicit per-offset
+    gather-path accumulation of the neighborhood GN moments — ``WS = Σ_off
+    w·S``, ``WSr = Σ_off w·S·r``, neighbor hit ``count`` and ``qsum = Σ_off
+    q`` per source point. One implementation shared by the CPU test
+    (tests/test_ndt.py) and the on-hardware smoke check
+    (scripts/tpu_smoke.py), so the parity contract cannot drift between
+    them. Returns float32 arrays ``(WS [n,6], WSr [n,3], count [n],
+    qsum [n])``; ``WS`` packs the symmetric upper triangle in the order
+    (00, 01, 02, 11, 12, 22) — the fused kernel's lane layout.
+    """
+    import numpy as np
+
+    n = src.shape[0]
+    WS = np.zeros((n, 6), np.float32)
+    WSr = np.zeros((n, 3), np.float32)
+    count = np.zeros((n,), np.float32)
+    qsum = np.zeros((n,), np.float32)
+    sel = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    for off in offsets:
+        o = None if off is None else jnp.asarray(off, jnp.int32)
+        mu, sinv, hit = ndt_lookup(src, grid, cell_offset=o)
+        mu, sinv, hit = map(np.asarray, (mu, sinv, hit))
+        r = np.asarray(src) - mu
+        sr = np.einsum("nij,nj->ni", sinv, r)
+        q = np.sum(r * sr, axis=1)
+        w = d1 * d2 * np.exp(np.clip(-0.5 * d2 * q, -60.0, 0.0))
+        w = np.where(hit, w, 0.0)
+        for k, (i, j) in enumerate(sel):
+            WS[:, k] += w * sinv[:, i, j]
+        WSr += w[:, None] * sr
+        count += hit.astype(np.float32)
+        qsum += np.where(hit, q, 0.0)
+    return WS, WSr, count, qsum

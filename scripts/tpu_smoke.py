@@ -132,31 +132,17 @@ def main() -> int:
           f"hit agreement={(hb == hg).mean():.5f}, rows exact={mu_ok and si_ok}")
 
     # --- 5b. fused Pallas NDT moments vs explicit gather path on TPU ---
-    from fpcr_tpu.ops.ndt import gauss_d1_d2
+    # the oracle is the SAME function tests/test_ndt.py validates against
+    # in interpret mode — parity contract can't drift between CPU CI and
+    # this on-hardware check
+    from fpcr_tpu.ops.ndt import (gauss_d1_d2,
+                                  reference_neighborhood_moments)
     from fpcr_tpu.ops.ndt_pallas import (ndt_fused_moments,
                                          prepare_fused_tables)
 
     d1f, d2f = gauss_d1_d2(0.55, 0.25)
     d1f = abs(d1f)
-    offsets = [None, (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
-               (0, 0, 1), (0, 0, -1)]
-    WS = np.zeros((q.shape[0], 6), np.float32)
-    WSr = np.zeros((q.shape[0], 3), np.float32)
-    count = np.zeros((q.shape[0],), np.float32)
-    for off in offsets:
-        o = None if off is None else jnp.asarray(off, jnp.int32)
-        mu, sinv, hit = ndt_lookup(q, grid, cell_offset=o)
-        mu, sinv, hit = map(np.asarray, (mu, sinv, hit))
-        r = np.asarray(q) - mu
-        sr = np.einsum("nij,nj->ni", sinv, r)
-        qq = np.sum(r * sr, axis=1)
-        w = d1f * d2f * np.exp(np.clip(-0.5 * d2f * qq, -60.0, 0.0))
-        w = np.where(hit, w, 0.0)
-        for k2, (i, j) in enumerate(
-                [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]):
-            WS[:, k2] += w * sinv[:, i, j]
-        WSr += w[:, None] * sr
-        count += hit.astype(np.float32)
+    WS, WSr, count, _ = reference_neighborhood_moments(q, grid, d1f, d2f)
     tables = prepare_fused_tables(grid)
     rows, xp = ndt_fused_moments(q, grid, tables, voxel_size=0.25,
                                  d1=d1f, d2=d2f, chunk=512, window=256)

@@ -449,3 +449,21 @@ def test_morton_rescue_registration_quality():
     # floor, so only the early-iteration fraction is meaningful)
     mf0 = float(np.asarray(res.matched_fraction)[0])
     assert mf0 > 0.95, mf0
+
+
+def test_tune_morton_far_from_origin_scale_aware():
+    """Global-frame coordinates (|p| ~ 500): expansion-form f32 rounding
+    noise scales with |p|², so absolute miss thresholds would misread
+    noise as damaging misses and degenerate rescue to ~N (a silent full
+    brute re-match every iteration). The scale-aware floors must keep a
+    benign far-from-origin cloud untuned."""
+    from fpcr_tpu.models.icp import tune_morton
+
+    rng = np.random.default_rng(11)
+    cloud = jnp.asarray(
+        (rng.uniform(-1, 1, (8192, 3)) + [500.0, -300.0, 400.0]
+         ).astype(np.float32))
+    cfg0 = f.ICPConfig(matcher="morton")
+    cfg = tune_morton(cloud + 0.002, cloud, cfg0)
+    assert cfg.morton_rescue < cloud.shape[0] // 4, cfg
+    assert cfg.morton_rescue == 0 and cfg.morton_shifts == cfg0.morton_shifts, cfg

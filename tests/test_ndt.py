@@ -301,30 +301,8 @@ def test_run_ndt_banded_registers():
         np.asarray(res_b.transform.apply(scene.source)), atol=1e-6)
 
 
-def _reference_moments(src, grid, d1f, d2f, offsets):
-    """Explicit per-offset gather-path moments: WS = Σ_off w S, WSr-parts,
-    count, Σq — the quantities the fused kernel must reproduce."""
-    n = src.shape[0]
-    WS = np.zeros((n, 6), np.float32)
-    WSr = np.zeros((n, 3), np.float32)
-    count = np.zeros((n,), np.float32)
-    qsum = np.zeros((n,), np.float32)
-    for off in offsets:
-        o = None if off is None else jnp.asarray(off, jnp.int32)
-        mu, sinv, hit = ndt_lookup(src, grid, cell_offset=o)
-        mu, sinv, hit = map(np.asarray, (mu, sinv, hit))
-        r = np.asarray(src) - mu
-        sr = np.einsum("nij,nj->ni", sinv, r)
-        q = np.sum(r * sr, axis=1)
-        w = d1f * d2f * np.exp(np.clip(-0.5 * d2f * q, -60.0, 0.0))
-        w = np.where(hit, w, 0.0)
-        sel = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
-        for k, (i, j) in enumerate(sel):
-            WS[:, k] += w * sinv[:, i, j]
-        WSr += w[:, None] * sr
-        count += hit.astype(np.float32)
-        qsum += np.where(hit, q, 0.0)
-    return WS, WSr, count, qsum
+# the per-offset numpy oracle is shared with scripts/tpu_smoke.py
+from fpcr_tpu.ops.ndt import reference_neighborhood_moments as _reference_moments
 
 
 def test_fused_moments_match_gather_path():
@@ -493,3 +471,66 @@ def test_config_rejects_bad_lookup_geometry():
         NDTConfig(voxel_size=0.2, lookup_chunk=0)
     with pytest.raises(ValueError):
         NDTConfig(voxel_size=0.2, lookup_window=-1)
+    # the fused kernel's block lane dimension needs 128-aligned chunks;
+    # reject early with a clear message, not deep inside Mosaic
+    with pytest.raises(ValueError, match="multiple of 128"):
+        NDTConfig(voxel_size=0.2, lookup_chunk=100)
+
+
+def test_run_ndt_composes_under_outer_jit_with_prebuilt_grid():
+    """The map-tracking shape, fully jitted: run_ndt(scan, map, grid=g)
+    inside an outer jax.jit, the grid passed as a traced pytree. The grid's
+    voxel_size is abstract at trace time, so the caller must assert the
+    resolution via config.voxel_size (checked against the grid when
+    concrete; trusted when traced)."""
+    import jax
+
+    scene = f.synthetic_scene(width=24)
+    cfg = NDTConfig(voxel_size=0.3, max_iterations=25, lookup="gather")
+    grid = f.build_ndt_grid(scene.source, cfg.voxel_size)
+
+    @jax.jit
+    def track(scan, map_cloud, g):
+        return run_ndt(scan, map_cloud, cfg, grid=g).transform
+
+    gt = f.gt_transform((0.02, -0.01, 0.015), (0.01, -0.02, 0.01))
+    scan = gt.apply(scene.source)
+    tf = track(scan, scene.source, grid)
+    assert float(f.transform_rmse(tf, gt.inverse(), scan)) < 5e-3
+
+    # traced grid without an explicit voxel_size: a clear error, not a
+    # ConcretizationTypeError from float()
+    bad_cfg = NDTConfig(max_iterations=5, lookup="gather")
+
+    @jax.jit
+    def bad(scan, map_cloud, g):
+        return run_ndt(scan, map_cloud, bad_cfg, grid=g).transform
+
+    with pytest.raises(ValueError, match="explicit config.voxel_size"):
+        bad(scene.target, scene.source, grid)
+
+
+def test_resolve_ndt_config_streaming_fast_path():
+    """resolve_ndt_config pins every auto policy once; run_ndt then skips
+    the per-call host probe and produces the same registration."""
+    scene = f.synthetic_scene(width=48)
+    grid = build_ndt_grid(scene.source, 0.3)
+    base = NDTConfig(voxel_size=0.3, max_iterations=25, lookup="banded")
+    resolved = f.resolve_ndt_config(base, grid, scene.source)
+    assert resolved.lookup_resolved
+    assert resolved.lookup_impl in ("xla", "pallas")
+    assert resolved.lookup_window is not None
+
+    gt = f.gt_transform((0.02, -0.01, 0.015), (0.01, -0.02, 0.01))
+    scan = gt.apply(scene.source)
+    res_resolved = run_ndt(scan, scene.source, resolved, grid=grid)
+    res_fresh = run_ndt(scan, scene.source, base, grid=grid)
+    np.testing.assert_allclose(np.asarray(res_resolved.transform.rotation),
+                               np.asarray(res_fresh.transform.rotation),
+                               atol=1e-6)
+    err = float(f.transform_rmse(res_resolved.transform, gt.inverse(), scan))
+    assert err < 5e-3, err
+
+    with pytest.raises(ValueError, match="resolve_ndt_config"):
+        run_ndt(scan, scene.source,
+                dataclasses.replace(base, lookup_resolved=True), grid=grid)
