@@ -192,6 +192,17 @@ def _cmd_run(args) -> int:
         from .utils.csvout import write_json
 
         write_json(args.output, payload)
+    if args.save_aligned:
+        from .data.pointcloud_io import write_pcd, write_ply
+
+        aligned = np.asarray(res.points)
+        if args.save_aligned.lower().endswith(".pcd"):
+            write_pcd(args.save_aligned, aligned)
+        else:
+            write_ply(args.save_aligned, aligned,
+                      comment="fpcr_tpu registered source cloud")
+        print(f"aligned cloud -> {args.save_aligned}",
+              file=sys.stderr)
     return 0
 
 
@@ -251,6 +262,9 @@ def main(argv=None) -> int:
                           "(.ply/.pcd/.csv/.xyz)")
     run.add_argument("--target", default=None,
                      help="--dataset files: target cloud path")
+    run.add_argument("--save-aligned", default=None, dest="save_aligned",
+                     help="write the registered (transformed) source cloud "
+                          "to this path (.ply or .pcd)")
     run.add_argument("--metric", default="point",
                      choices=["point", "plane", "symmetric", "gicp"])
     run.add_argument("--max-iter", type=int, default=40)

@@ -215,3 +215,19 @@ def test_cli_run_files_dataset_requires_paths(capsys):
     rc = cli_main(["run", "--dataset", "files"])
     assert rc == 2
     assert "--source" in capsys.readouterr().err
+
+
+def test_cli_save_aligned(tmp_path, capsys):
+    """--save-aligned exports the registered source; reading it back, it
+    matches the target to registration accuracy."""
+    import fpcr_tpu as f
+    from fpcr_tpu.data.pointcloud_io import load_points
+
+    out = tmp_path / "aligned.ply"
+    rc = cli_main(["run", "--dataset", "synthetic", "--width", "12",
+                   "--max-iter", "30", "--json",
+                   "--save-aligned", str(out)])
+    assert rc == 0
+    aligned = load_points(out)
+    target = np.asarray(f.synthetic_scene(width=12).target)
+    np.testing.assert_allclose(aligned, target, atol=1e-4)
