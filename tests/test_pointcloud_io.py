@@ -224,3 +224,16 @@ def test_register_from_files(tmp_path):
                                config=f.ICPConfig(max_iterations=40))
     assert float(f.transform_rmse(res.transform, scene.ground_truth,
                                   src)) < 1e-4
+
+
+def test_load_points_reads_reference_assets():
+    """Both reference CSV dialects load through the generic path: semicolon
+    Bunny.csv (35,947 pts) and space-separated Bunny_res.csv (8,171 pts) —
+    reference loader /root/reference/src/CUDA/GPU_point_to_point_bunny.cu:463-497."""
+    from fpcr_tpu.data.paths import asset
+
+    full = load_points(asset("Bunny.csv"))
+    res = load_points(asset("Bunny_res.csv"))
+    assert full.shape == (35947, 3)
+    assert res.shape == (8171, 3)
+    assert np.isfinite(full).all() and np.isfinite(res).all()
