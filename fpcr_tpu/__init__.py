@@ -24,7 +24,7 @@ from .core.transforms import (
     rotation_zyx,
 )
 from .core.cloud import MaskedCloud, pad_cloud
-from .core.metrics import rmse, transform_rmse
+from .core.metrics import evaluate_registration, rmse, transform_rmse
 from .models.icp import (
     ICPConfig,
     ICPResult,
@@ -135,6 +135,7 @@ __all__ = [
     "pad_cloud",
     "rmse",
     "transform_rmse",
+    "evaluate_registration",
     "icp_generalized",
     "icp_iteration",
     "icp_point_to_plane",

@@ -173,6 +173,16 @@ def _cmd_run(args) -> int:
         "wall_seconds": wall,
         "platform": jax.devices()[0].platform,
     }
+    if args.eval_dist is not None:
+        ev = f.evaluate_registration(
+            scene.source, scene.target, res.transform,
+            max_correspondence_dist=args.eval_dist)
+        payload["evaluation"] = {
+            "max_correspondence_dist": args.eval_dist,
+            "fitness": float(ev["fitness"]),
+            "inlier_rmse": float(ev["inlier_rmse"]),
+            "num_inliers": int(ev["num_inliers"]),
+        }
     from .utils.csvout import iteration_metrics
 
     payload["iteration_metrics"] = iteration_metrics(res)
@@ -188,6 +198,11 @@ def _cmd_run(args) -> int:
             print(f"  iter {i:3d}: {e:.6e}")
         if rmse_gt is not None:
             print(f"transform RMSE vs ground truth: {rmse_gt:.3e}")
+        if "evaluation" in payload:
+            ev = payload["evaluation"]
+            print(f"evaluation @ {ev['max_correspondence_dist']}: "
+                  f"fitness={ev['fitness']:.4f} "
+                  f"inlier_rmse={ev['inlier_rmse']:.3e}")
     if args.output:
         from .utils.csvout import write_json
 
@@ -265,6 +280,11 @@ def main(argv=None) -> int:
     run.add_argument("--save-aligned", default=None, dest="save_aligned",
                      help="write the registered (transformed) source cloud "
                           "to this path (.ply or .pcd)")
+    run.add_argument("--eval-dist", type=float, default=None,
+                     dest="eval_dist",
+                     help="post-hoc evaluation: fitness + inlier RMSE over "
+                          "NN matches within this distance (useful with "
+                          "--dataset files, where no ground truth exists)")
     run.add_argument("--metric", default="point",
                      choices=["point", "plane", "symmetric", "gicp"])
     run.add_argument("--max-iter", type=int, default=40)

@@ -55,3 +55,51 @@ def transform_rmse(t_est, t_ref, probe_points: jnp.ndarray) -> jnp.ndarray:
     measure used to compare against the CUDA reference (BASELINE.md: transform
     parity 1e-5 on Bunny / hall scan)."""
     return rmse(t_est.apply(probe_points), t_ref.apply(probe_points))
+
+
+def evaluate_registration(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    transform=None,
+    *,
+    max_correspondence_dist: float = 0.02,
+    target_mask: Optional[jnp.ndarray] = None,
+    source_chunk: int = 2048,
+    target_tile: int = 2048,
+):
+    """Post-hoc quality of an alignment: nearest-neighbor fitness and
+    inlier RMSE (the PCL/Open3D ``evaluate_registration`` convention).
+
+    Applies ``transform`` (None = identity, i.e. the clouds are already
+    aligned), matches every source point to its nearest target point with
+    the streaming MXU argmin, and reports over the matches within
+    ``max_correspondence_dist``:
+
+    * ``fitness`` — inlier matches / N (overlap estimate in [0, 1]);
+    * ``inlier_rmse`` — RMS Euclidean distance over the inliers;
+    * ``num_inliers`` — the inlier count.
+
+    Unlike the in-loop error sequence (which reports the metric being
+    optimized), this is a metric-independent check usable on any result —
+    ICP, NDT, global registration, or an external pose. Returns a dict of
+    device scalars.
+    """
+    from ..ops.matching import nn_argmin
+
+    pts = source if transform is None else transform.apply(source)
+    # exact (difference-form) distances: the matmul expansion's ~1e-7 f32
+    # noise in squared units would floor the reported RMSE at ~3e-4 — too
+    # coarse for a quality diagnostic on well-converged alignments
+    _, dmin = nn_argmin(pts, target, target_mask, exact=True,
+                        source_chunk=source_chunk, target_tile=target_tile)
+    # nn_argmin returns squared distances (difference form)
+    thresh = jnp.asarray(max_correspondence_dist, pts.dtype) ** 2
+    inlier = dmin <= thresh
+    num = jnp.sum(inlier)
+    denom = jnp.maximum(num, 1)
+    mse = jnp.sum(jnp.where(inlier, jnp.maximum(dmin, 0.0), 0.0)) / denom
+    return {
+        "fitness": num / pts.shape[0],
+        "inlier_rmse": jnp.sqrt(mse),
+        "num_inliers": num,
+    }

@@ -231,3 +231,14 @@ def test_cli_save_aligned(tmp_path, capsys):
     aligned = load_points(out)
     target = np.asarray(f.synthetic_scene(width=12).target)
     np.testing.assert_allclose(aligned, target, atol=1e-4)
+
+
+def test_cli_eval_dist(capsys):
+    rc = cli_main(["run", "--dataset", "synthetic", "--width", "12",
+                   "--max-iter", "30", "--json", "--eval-dist", "0.05"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out)
+    ev = payload["evaluation"]
+    assert ev["fitness"] == 1.0
+    assert ev["inlier_rmse"] < 1e-4
+    assert ev["num_inliers"] == 144

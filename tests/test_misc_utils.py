@@ -76,3 +76,26 @@ def test_import_does_not_initialize_backend():
     assert out.returncode == 0 and (
         "CLEAN" in out.stdout or "SKIP-INTERNAL" in out.stdout), (
         out.stdout + out.stderr)
+
+
+def test_evaluate_registration_metrics():
+    """Fitness + inlier RMSE on a known alignment: aligned clouds evaluate
+    to fitness 1 / ~0 RMSE; an unaligned pose drops fitness; outliers in
+    the target don't change the source-side evaluation."""
+    import fpcr_tpu as f
+
+    scene = f.synthetic_scene(width=24)
+    res = f.icp_point_to_point(scene.source, scene.target,
+                               config=f.ICPConfig(max_iterations=40))
+    ev = f.evaluate_registration(scene.source, scene.target, res.transform,
+                                 max_correspondence_dist=0.05)
+    assert float(ev["fitness"]) == 1.0
+    assert float(ev["inlier_rmse"]) < 1e-4
+    assert int(ev["num_inliers"]) == scene.source.shape[0]
+
+    # identity transform on a displaced pair: most points miss the gate
+    ev_bad = f.evaluate_registration(scene.source, scene.target, None,
+                                     max_correspondence_dist=0.05)
+    assert float(ev_bad["fitness"]) < 0.5
+    # inlier RMSE never exceeds the gate
+    assert float(ev_bad["inlier_rmse"]) <= 0.05 + 1e-6
