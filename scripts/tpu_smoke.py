@@ -174,6 +174,23 @@ def main() -> int:
         ok = bool(np.isfinite(err)) and err < 1e-4
         check(f"{metric} TPU convergence", ok, f"err={err:.2e}")
 
+    # --- 7. tune_morton scale-aware thresholds under packed6 ----------
+    # TPU's packed6 distance noise is larger than CPU's f32 XLA noise;
+    # the scale-aware floors must still classify a benign far-from-origin
+    # cloud (|p| ~ 500, global-frame coordinates) as clean — no rescue
+    # escalation, no degenerate full brute re-match.
+    from fpcr_tpu.models.icp import tune_morton
+
+    rng2 = np.random.default_rng(11)
+    far_cloud = jnp.asarray(
+        (rng2.uniform(-1, 1, (8192, 3)) + [500.0, -300.0, 400.0]
+         ).astype(np.float32))
+    tuned = tune_morton(far_cloud + 0.002, far_cloud,
+                        f.ICPConfig(matcher="morton"))
+    check("tune_morton far-from-origin stays untuned",
+          tuned.morton_rescue == 0 and tuned.morton_shifts == 1,
+          f"rescue={tuned.morton_rescue}, shifts={tuned.morton_shifts}")
+
     print(f"\n{len(FAILURES)} failure(s)" if FAILURES else "\nall checks ok",
           flush=True)
     return 1 if FAILURES else 0
