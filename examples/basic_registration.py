@@ -36,3 +36,9 @@ print("recovered translation:", np.asarray(result.transform.translation))
 print("ground truth translation:", np.asarray(scene.ground_truth.translation))
 print("transform RMSE vs GT:",
       float(f.transform_rmse(result.transform, scene.ground_truth, scene.source)))
+
+# ground-truth-free quality check (what you'd use on real scan pairs)
+ev = f.evaluate_registration(scene.source, scene.target, result.transform,
+                             max_correspondence_dist=0.05)
+print(f"evaluation: fitness={float(ev['fitness']):.4f} "
+      f"inlier_rmse={float(ev['inlier_rmse']):.2e}")
