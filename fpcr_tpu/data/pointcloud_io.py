@@ -164,9 +164,25 @@ def read_ply(path, *, dtype=np.float32
     return points, data
 
 
-def write_ply(path, points, *, normals=None, binary: bool = True,
-              comment: Optional[str] = None) -> None:
-    """Write ``points [N,3]`` (and optional ``normals [N,3]``) as PLY."""
+def _extras_columns(extras, n) -> list:
+    """Validate an extras dict ({name: [N] scalar array}) into
+    [(name, float32 column)] — float lanes keep read→write round-trips
+    (intensity, colors, normals-as-extras) lossless for f32 data."""
+    cols = []
+    for name, arr in (extras or {}).items():
+        a = np.asarray(arr)
+        if a.shape != (n,):
+            raise ValueError(
+                f"extra property {name!r} must be [N]={n}, got {a.shape}")
+        cols.append((str(name), a.astype(np.float32)))
+    return cols
+
+
+def write_ply(path, points, *, normals=None, extras=None,
+              binary: bool = True, comment: Optional[str] = None) -> None:
+    """Write ``points [N,3]`` (optional ``normals [N,3]`` and ``extras``
+    — a dict of per-point scalar properties, e.g. from ``read_ply``) as
+    PLY float properties."""
     pts = np.asarray(points, dtype=np.float32)
     if pts.ndim != 2 or pts.shape[1] != 3:
         raise ValueError(f"points must be [N,3], got {pts.shape}")
@@ -175,7 +191,10 @@ def write_ply(path, points, *, normals=None, binary: bool = True,
         norms = np.asarray(normals, dtype=np.float32)
         if norms.shape != pts.shape:
             raise ValueError("normals must match points shape")
-    names = ["x", "y", "z"] + (["nx", "ny", "nz"] if norms is not None else [])
+    extra_cols = _extras_columns(extras, pts.shape[0])
+    names = (["x", "y", "z"]
+             + (["nx", "ny", "nz"] if norms is not None else [])
+             + [n for n, _ in extra_cols])
     header = ["ply",
               "format binary_little_endian 1.0" if binary
               else "format ascii 1.0"]
@@ -184,7 +203,11 @@ def write_ply(path, points, *, normals=None, binary: bool = True,
     header.append(f"element vertex {pts.shape[0]}")
     header += [f"property float {n}" for n in names]
     header.append("end_header")
-    table = pts if norms is None else np.concatenate([pts, norms], axis=1)
+    parts = [pts]
+    if norms is not None:
+        parts.append(norms)
+    parts += [c[:, None] for _, c in extra_cols]
+    table = np.concatenate(parts, axis=1) if len(parts) > 1 else pts
     with open(path, "wb") as fh:
         fh.write(("\n".join(header) + "\n").encode("ascii"))
         if binary:
@@ -279,31 +302,37 @@ def read_pcd(path, *, dtype=np.float32, drop_invalid: bool = True
     return points, data
 
 
-def write_pcd(path, points, *, binary: bool = True) -> None:
-    """Write ``points [N,3]`` as a PCD v0.7 file (unorganized, xyz)."""
+def write_pcd(path, points, *, extras=None, binary: bool = True) -> None:
+    """Write ``points [N,3]`` (plus optional ``extras`` scalar fields) as a
+    PCD v0.7 file (unorganized)."""
     pts = np.asarray(points, dtype=np.float32)
     if pts.ndim != 2 or pts.shape[1] != 3:
         raise ValueError(f"points must be [N,3], got {pts.shape}")
     n = pts.shape[0]
+    extra_cols = _extras_columns(extras, n)
+    fields = ["x", "y", "z"] + [name for name, _ in extra_cols]
+    k = len(fields)
     header = "\n".join([
         "# .PCD v0.7 - Point Cloud Data file format",
         "VERSION 0.7",
-        "FIELDS x y z",
-        "SIZE 4 4 4",
-        "TYPE F F F",
-        "COUNT 1 1 1",
+        f"FIELDS {' '.join(fields)}",
+        f"SIZE {' '.join(['4'] * k)}",
+        f"TYPE {' '.join(['F'] * k)}",
+        f"COUNT {' '.join(['1'] * k)}",
         f"WIDTH {n}",
         "HEIGHT 1",
         "VIEWPOINT 0 0 0 1 0 0 0",
         f"POINTS {n}",
         f"DATA {'binary' if binary else 'ascii'}",
     ]) + "\n"
+    table = (np.concatenate([pts] + [c[:, None] for _, c in extra_cols],
+                            axis=1) if extra_cols else pts)
     with open(path, "wb") as fh:
         fh.write(header.encode("ascii"))
         if binary:
-            fh.write(np.ascontiguousarray(pts, dtype="<f4").tobytes())
+            fh.write(np.ascontiguousarray(table, dtype="<f4").tobytes())
         else:
-            np.savetxt(fh, pts, fmt="%.9g")
+            np.savetxt(fh, table, fmt="%.9g")
 
 
 def _read_delimited(path, dtype) -> np.ndarray:

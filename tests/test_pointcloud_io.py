@@ -237,3 +237,33 @@ def test_load_points_reads_reference_assets():
     assert full.shape == (35947, 3)
     assert res.shape == (8171, 3)
     assert np.isfinite(full).all() and np.isfinite(res).all()
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_extras_roundtrip_both_formats(tmp_path, cloud, binary):
+    """Per-point scalar properties (intensity etc.) survive write->read
+    in both formats — pipelines can carry sensor channels through."""
+    intensity = np.linspace(0, 100, cloud.shape[0]).astype(np.float32)
+    ring = np.arange(cloud.shape[0]).astype(np.float32) % 16
+
+    write_ply(tmp_path / "e.ply", cloud,
+              extras={"intensity": intensity, "ring": ring}, binary=binary)
+    pts, ex = read_ply(tmp_path / "e.ply")
+    np.testing.assert_allclose(pts, cloud, atol=1e-6)
+    np.testing.assert_allclose(ex["intensity"], intensity, atol=1e-4)
+    np.testing.assert_allclose(ex["ring"], ring)
+
+    write_pcd(tmp_path / "e.pcd", cloud,
+              extras={"intensity": intensity}, binary=binary)
+    pts2, ex2 = read_pcd(tmp_path / "e.pcd")
+    np.testing.assert_allclose(pts2, cloud, atol=1e-6)
+    np.testing.assert_allclose(ex2["intensity"], intensity, atol=1e-4)
+
+
+def test_extras_shape_validation(tmp_path, cloud):
+    with pytest.raises(ValueError, match="extra property"):
+        write_ply(tmp_path / "b.ply", cloud,
+                  extras={"bad": np.zeros(cloud.shape[0] - 1)})
+    with pytest.raises(ValueError, match="extra property"):
+        write_pcd(tmp_path / "b.pcd", cloud,
+                  extras={"bad": np.zeros((cloud.shape[0], 2))})
