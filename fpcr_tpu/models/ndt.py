@@ -31,6 +31,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..core.transforms import RigidTransform, rotation_exp
@@ -114,8 +115,13 @@ def resolve_voxel_size(config: NDTConfig, target: jnp.ndarray) -> NDTConfig:
         return config
     from ..ops.grid import suggest_cell_size
 
-    return dataclasses.replace(
-        config, voxel_size=float(suggest_cell_size(target, scale=6.0)))
+    vs = float(suggest_cell_size(target, scale=6.0))
+    if not (vs > 0.0) or not np.isfinite(vs):
+        raise ValueError(
+            "auto voxel_size failed: the target cloud has no measurable "
+            "point spacing (all-duplicate or single-point); pass an "
+            "explicit NDTConfig(voxel_size=...)")
+    return dataclasses.replace(config, voxel_size=vs)
 
 
 def _resolve_lookup(config: NDTConfig, n: int) -> NDTConfig:

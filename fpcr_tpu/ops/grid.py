@@ -187,17 +187,35 @@ def suggest_cell_size(q: jnp.ndarray, sample: int = 2048,
                       scale: float = 2.0) -> jnp.ndarray:
     """≈ ``scale`` × median nearest-neighbor spacing of a sample — a cell
     size that keeps the true NN within the 27-cell neighborhood for
-    near-registered clouds while keeping bucket occupancy low."""
+    near-registered clouds while keeping bucket occupancy low.
+
+    Robustness (fuzzer finds): the slice is centered before the 2-NN pass
+    (expansion-form f32 noise scales with |p|² — on global-frame clouds at
+    |p|~500 it swamps real sub-millimeter spacings), and zero-distance
+    neighbors (duplicate points) are excluded from the median; a cloud too
+    degenerate to measure (all duplicates) falls back to an extent-based
+    size, 0 only when the cloud has no extent at all."""
     from .normals import knn
 
     m = q.shape[0]
     q_slice = q[: min(m, 65536)]
+    q_slice = q_slice - jnp.mean(q_slice, axis=0)
     step = max(1, q_slice.shape[0] // sample)
     sub = q_slice[::step][:sample]
     # 2-NN against the slice containing sub: slot 0 is self (distance 0),
     # slot 1 is the true nearest neighbor.
     _, d = knn(sub, q_slice, 2)
-    med = jnp.sqrt(jnp.median(d[:, 1]))
+    d1 = jnp.maximum(d[:, 1], 0.0)
+    pos = d1 > 0
+    n_pos = jnp.sum(pos)
+    # lower median of the POSITIVE spacings (duplicates sort to +inf)
+    sorted_d = jnp.sort(jnp.where(pos, d1, jnp.inf))
+    med = jnp.sqrt(sorted_d[jnp.maximum(n_pos - 1, 0) // 2])
+    # all-duplicate sample: fall back to bbox-extent / cbrt(n) spacing
+    ext = jnp.linalg.norm(jnp.max(q_slice, axis=0) - jnp.min(q_slice, axis=0))
+    fallback = ext / jnp.cbrt(jnp.float32(max(q_slice.shape[0], 1)))
+    med = jnp.where((n_pos > 0) & jnp.isfinite(med) & (med > 0),
+                    med, fallback)
     return (scale * med).astype(jnp.float32)
 
 

@@ -49,4 +49,47 @@ for trial in range(60):
     except Exception as e:
         print(f"CRASH trial {trial}: n={n} shape={shape} cfg={cfg}: {type(e).__name__} {str(e)[:120]}", flush=True)
         fails += 1
-print(f"done: {fails} failures / 60 trials", flush=True)
+# NDT trials: random resolutions/lookup strategies on random geometry —
+# the never-NaN contract extends to the voxel-field solver
+from fpcr_tpu.models.ndt import NDTConfig, run_ndt
+
+for trial in range(20):
+    n = int(rng.integers(64, 4000))
+    shape = rng.choice(["uniform", "surface", "dup", "offset"])
+    if shape == "uniform":
+        src = rng.uniform(-2, 2, (n, 3))
+    elif shape == "surface":
+        w = max(4, int(np.sqrt(n))); src = np.asarray(f.surface_grid(width=w))[:n]
+        n = src.shape[0]
+    elif shape == "dup":
+        base = rng.uniform(-1, 1, (max(n // 4, 1), 3))
+        src = base[rng.integers(0, base.shape[0], n)]
+    else:  # global-frame coordinates (the ADVICE r2 failure regime)
+        src = rng.uniform(-1, 1, (n, 3)) + np.array([300.0, -450.0, 250.0])
+    src = jnp.asarray(src.astype(np.float32))
+    gt = f.gt_transform(tuple(0.02 * rng.standard_normal(3)),
+                        tuple(0.02 * rng.standard_normal(3)))
+    tgt = gt.apply(src)
+    cfg = NDTConfig(
+        voxel_size=rng.choice([None, float(rng.uniform(0.1, 1.0))]),
+        max_iterations=int(rng.integers(1, 20)),
+        lookup=rng.choice(["auto", "gather", "banded"]),
+        min_points=int(rng.integers(3, 7)))
+    try:
+        res = run_ndt(src, tgt, cfg)
+        r = np.asarray(res.transform.rotation)
+        t = np.asarray(res.transform.translation)
+        if not (np.isfinite(r).all() and np.isfinite(t).all()):
+            raise RegistrationError("non-finite NDT transform")
+        if abs(np.linalg.det(r) - 1.0) > 1e-2:
+            raise RegistrationError(f"det(R)={np.linalg.det(r)}")
+    except RegistrationError as e:
+        print(f"NDT FAIL trial {trial}: n={n} shape={shape} cfg={cfg}: {e}",
+              flush=True)
+        fails += 1
+    except Exception as e:
+        print(f"NDT CRASH trial {trial}: n={n} shape={shape} cfg={cfg}: "
+              f"{type(e).__name__} {str(e)[:120]}", flush=True)
+        fails += 1
+
+print(f"done: {fails} failures / 80 trials", flush=True)

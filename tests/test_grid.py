@@ -158,3 +158,36 @@ def test_voxel_downsample_feeds_registration():
     # voxelization decimates + shifts points, so recovery is approximate
     assert float(f.transform_rmse(res.transform, scene.ground_truth,
                                   scene.source)) < 0.05
+
+
+def test_suggest_cell_size_duplicate_heavy_cloud():
+    """Duplicate points (zero NN spacing) must not collapse the suggested
+    cell to 0 — the median is taken over POSITIVE spacings (fuzzer find:
+    auto NDT voxel_size raised 'must be positive' on dup-heavy clouds)."""
+    rng = np.random.default_rng(3)
+    base = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    dup = base[rng.integers(0, 64, 4096)]  # every point duplicated ~64x
+    cell = float(suggest_cell_size(jnp.asarray(dup)))
+    assert np.isfinite(cell) and cell > 0
+
+    # fully degenerate (a single repeated point): no extent -> 0, and the
+    # NDT auto-resolution turns that into a clear error
+    import pytest
+
+    from fpcr_tpu.models.ndt import NDTConfig, resolve_voxel_size
+
+    one = jnp.asarray(np.tile(np.float32([1, 2, 3]), (256, 1)))
+    assert float(suggest_cell_size(one)) == 0.0
+    with pytest.raises(ValueError, match="auto voxel_size failed"):
+        resolve_voxel_size(NDTConfig(), one)
+
+
+def test_suggest_cell_size_far_from_origin():
+    """Global-frame coordinates: |p|² expansion noise must not swamp the
+    measured spacing (the slice is centered before the 2-NN pass)."""
+    rng = np.random.default_rng(4)
+    local = rng.uniform(-1, 1, (4096, 3)).astype(np.float32)
+    near = float(suggest_cell_size(jnp.asarray(local)))
+    far = float(suggest_cell_size(jnp.asarray(local + np.float32([300.0, -450.0, 250.0]))))
+    assert np.isfinite(far) and far > 0
+    assert abs(far - near) < 0.5 * near, (near, far)
