@@ -12,7 +12,7 @@ See SURVEY.md for the structural map of the reference and BASELINE.md for the
 performance contract.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from .core.transforms import (
     RigidTransform,
