@@ -250,6 +250,32 @@ def _cmd_match_bench(args) -> int:
     return 0
 
 
+def _cmd_convert(args) -> int:
+    """Cloud format conversion: any readable format -> .ply/.pcd/.csv/.xyz
+    (pure host-side IO — no device involved)."""
+    import numpy as np
+
+    from .data.pointcloud_io import load_points, write_pcd, write_ply
+
+    pts = load_points(args.input)
+    out = args.output.lower()
+    if out.endswith(".ply"):
+        write_ply(args.output, pts, binary=not args.ascii)
+    elif out.endswith(".pcd"):
+        write_pcd(args.output, pts, binary=not args.ascii)
+    elif out.endswith((".csv", ".xyz", ".txt")):
+        np.savetxt(args.output, pts,
+                   delimiter="," if out.endswith(".csv") else " ",
+                   fmt="%.9g")
+    else:
+        print(f"error: unsupported output format {args.output!r} "
+              "(.ply/.pcd/.csv/.xyz/.txt)", file=sys.stderr)
+        return 2
+    print(f"{pts.shape[0]} points: {args.input} -> {args.output}",
+          file=sys.stderr)
+    return 0
+
+
 def _cmd_info(args) -> int:
     _maybe_force_cpu(args)
     import jax
@@ -364,6 +390,15 @@ def main(argv=None) -> int:
     mb.add_argument("--csv", default=None)
     _add_common(mb)
     mb.set_defaults(fn=_cmd_match_bench)
+
+    conv = sub.add_parser("convert",
+                          help="convert cloud files between formats "
+                               "(ply/pcd/csv/xyz)")
+    conv.add_argument("--input", required=True)
+    conv.add_argument("--output", required=True)
+    conv.add_argument("--ascii", action="store_true",
+                      help="write ascii instead of binary (ply/pcd)")
+    conv.set_defaults(fn=_cmd_convert)
 
     info = sub.add_parser("info", help="backend info")
     _add_common(info)

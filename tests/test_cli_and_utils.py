@@ -242,3 +242,23 @@ def test_cli_eval_dist(capsys):
     assert ev["fitness"] == 1.0
     assert ev["inlier_rmse"] < 1e-4
     assert ev["num_inliers"] == 144
+
+
+def test_cli_convert_formats(tmp_path, capsys):
+    """convert: csv -> ply (binary) -> pcd (ascii) -> xyz, points preserved."""
+    from fpcr_tpu.data.pointcloud_io import load_points
+
+    rng = np.random.default_rng(9)
+    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    np.savetxt(tmp_path / "a.csv", pts, delimiter=",")
+    chain = [("a.csv", "b.ply", []), ("b.ply", "c.pcd", ["--ascii"]),
+             ("c.pcd", "d.xyz", [])]
+    for src, dst, extra in chain:
+        rc = cli_main(["convert", "--input", str(tmp_path / src),
+                       "--output", str(tmp_path / dst)] + extra)
+        assert rc == 0
+    np.testing.assert_allclose(load_points(tmp_path / "d.xyz"), pts,
+                               atol=1e-5)
+    rc = cli_main(["convert", "--input", str(tmp_path / "a.csv"),
+                   "--output", str(tmp_path / "bad.obj")])
+    assert rc == 2
