@@ -1,7 +1,14 @@
-"""Randomized robustness fuzz: random clouds (uniform/surface/line/duplicate)
-× random ICPConfig combos; any non-finite transform / reflection / crash is
-a failure. Round-2 catch: rank-deficient line clouds NaN-poisoned the polar
-and 6x6 solvers (fixed with identity-fallback guards, see ops/solve.py).
+"""Randomized robustness fuzz: random clouds (uniform/surface/line/duplicate/
+global-frame-offset) × random ICPConfig combos + random NDT configs; any
+non-finite transform / reflection / crash is a failure.
+
+Catches so far:
+  * round 2 — rank-deficient line clouds NaN-poisoned the polar and 6x6
+    solvers (fixed with identity-fallback guards, see ops/solve.py);
+  * round 3 — auto NDT voxel_size collapsed to 0 on duplicate-heavy clouds
+    and was noise-swamped at global-frame coordinates (fixed in
+    ops/grid.py::suggest_cell_size: centered 2-NN pass, positive-spacing
+    median, extent fallback).
 
 Run: python scripts/fuzz_configs.py [seed]
 """
