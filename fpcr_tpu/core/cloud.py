@@ -18,6 +18,17 @@ def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
+def fit_unroll(num_chunks: int, unroll: int) -> int:
+    """Largest power-of-two divisor of ``num_chunks`` that is <= ``unroll``
+    (>= 1). Every chunked kernel statically unrolls ``u`` chunks per loop
+    step to amortize the ~8 µs XLA loop-step overhead; the unroll must
+    divide the chunk count exactly."""
+    u = unroll
+    while num_chunks % u:
+        u //= 2
+    return max(u, 1)
+
+
 class MaskedCloud(NamedTuple):
     """A fixed-capacity cloud: ``points[i]`` is valid iff ``mask[i]``."""
 

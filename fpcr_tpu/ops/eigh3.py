@@ -102,17 +102,34 @@ def eigh3(A: jnp.ndarray, eps: float = 1e-20) -> Tuple[jnp.ndarray, jnp.ndarray]
     v_min = _unit_eigenvector(A, lams[..., 0], eps)
     v_max = _unit_eigenvector(A, lams[..., 2], eps)
     # Orthogonalize: v_mid completes the right-handed frame. Guard the
-    # degenerate case where v_min ≈ ±v_max (isotropic A).
+    # degenerate case where v_min ≈ ±v_max (isotropic A): the fallback must
+    # itself be orthonormal to v_max — a fixed axis is NOT (review find r3:
+    # both _unit_eigenvector fallbacks return (1,1,1)/√3, and a (0,1,0)
+    # v_mid then yields a non-orthonormal frame whose V diag(1/λ) Vᵀ
+    # reconstruction is O(1) wrong for isotropic voxels). Gram-Schmidt the
+    # world axis least aligned with v_max instead.
     v_mid = jnp.cross(v_max, v_min)
     n = jnp.sqrt(jnp.sum(v_mid * v_mid, axis=-1, keepdims=True))
-    good = n[..., 0] > eps
+    # both inputs are unit vectors, so n = sin(angle between them): an
+    # absolute ~1e-20 guard lets f32 rounding junk (n ~ 1e-8 for v_min ==
+    # v_max) through and the "normalized" junk need not be orthogonal to
+    # anything — require a genuinely non-degenerate angle instead
+    good = n[..., 0] > 1e-4
+    axis = jnp.argmin(jnp.abs(v_max), axis=-1)
+    e = jnp.eye(3, dtype=A.dtype)[axis]  # [..., 3] one-hot
+    t = e - v_max * jnp.sum(e * v_max, axis=-1, keepdims=True)
+    t = t / jnp.sqrt(jnp.maximum(jnp.sum(t * t, axis=-1, keepdims=True),
+                                 jnp.asarray(eps, A.dtype)))
     v_mid = jnp.where(
         good[..., None],
         v_mid / jnp.where(n > 0, n, 1.0),
-        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], A.dtype), v_mid.shape),
+        t,
     )
     # Re-derive v_min to guarantee an orthonormal frame even in near-repeated
-    # eigenvalue cases.
+    # eigenvalue cases (normalized: v_mid ⊥ v_max holds only to ~sin(angle)
+    # accuracy near the degeneracy threshold).
     v_min_o = jnp.cross(v_mid, v_max)
+    nmo = jnp.sqrt(jnp.sum(v_min_o * v_min_o, axis=-1, keepdims=True))
+    v_min_o = v_min_o / jnp.where(nmo > 0, nmo, 1.0)
     vecs = jnp.stack([v_min_o, v_mid, v_max], axis=-1)
     return lams, vecs

@@ -30,7 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .normals import knn
+from .normals import self_knn
 
 _EPS = 1e-12
 
@@ -94,17 +94,8 @@ def fpfh_features(
     normals = normals.astype(jnp.float32)
     m = points.shape[0]
 
-    if m > banded_threshold:
-        from .morton import knn_morton
-
-        # monotonic clamp at 1024, matching estimate_normals: smaller
-        # chunks (256) halve the Morton seam coverage on >100k clouds
-        # (the banded window extends half a chunk each side)
-        idx_all, sqd_all = knn_morton(points, k + 1, mask,
-                                      chunk=min(chunk, 1024))
-    else:
-        idx_all, sqd_all = knn(points, points, k + 1, mask,
-                               chunk=chunk, tile=tile)
+    idx_all, sqd_all = self_knn(points, k + 1, mask, chunk=chunk, tile=tile,
+                                banded_threshold=banded_threshold)
     nbr_idx = idx_all[:, 1:]  # drop self
     nbr_sqd = jnp.maximum(sqd_all[:, 1:], 0.0)
 

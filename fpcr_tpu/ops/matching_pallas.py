@@ -125,19 +125,27 @@ def _augment(p: jnp.ndarray, q: jnp.ndarray, q_mask: Optional[jnp.ndarray],
     return p_hat, qT
 
 
-def _split3(x: jnp.ndarray):
-    """Triple-bf16 split: x = h + m + l (8+8+8 mantissa bits — all 24 f32
-    mantissa bits covered).
+def split3_f32(x):
+    """Triple-bf16 split values kept in f32: x = h + m + l exactly
+    (8+8+8 mantissa bits — all 24 f32 mantissa bits covered). The ONE
+    implementation of this split (morton_pallas packs from it too;
+    ndt_pallas uses a different bit-twiddle variant for integer cells).
 
     Uses ``lax.reduce_precision`` for the roundings: with XLA's default
     ``--xla_allow_excess_precision=true`` a plain ``x - bf16(x).astype(f32)``
     is ELIDED to zero (the compiler keeps the f32 value through the cast
     pair); reduce_precision is a semantic rounding op and survives.
     """
-    h32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
-    r = x - h32
-    m32 = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
-    l32 = jax.lax.reduce_precision(r - m32, exponent_bits=8, mantissa_bits=7)
+    h = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    r = x - h
+    m = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+    l = jax.lax.reduce_precision(r - m, exponent_bits=8, mantissa_bits=7)
+    return h, m, l
+
+
+def _split3(x: jnp.ndarray):
+    """Triple-bf16 split cast to bf16 parts (see ``split3_f32``)."""
+    h32, m32, l32 = split3_f32(x)
     return (h32.astype(jnp.bfloat16), m32.astype(jnp.bfloat16),
             l32.astype(jnp.bfloat16))
 
@@ -231,5 +239,10 @@ def nn_argmin_pallas(
         interpret=interpret,
     )(p_in, q_in)
 
-    # f32 cancellation can leave tiny negatives on exact/near-zero matches
-    return best_i[:n, 0], jnp.maximum(best_d[:n, 0], 0.0)
+    # f32 cancellation can leave tiny negatives on exact/near-zero matches.
+    # Rows whose every candidate was masked carry the ~1e30 invalid
+    # surrogate — map them back to inf so "no valid target" is detectable
+    # the same way as nn_argmin's (review find r3: drop-in contract)
+    d = best_d[:n, 0]
+    d = jnp.where(d >= _INVALID_SURROGATE * 0.5, jnp.inf, d)
+    return best_i[:n, 0], jnp.maximum(d, 0.0)

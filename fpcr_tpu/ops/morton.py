@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.cloud import round_up
+from ..core.cloud import fit_unroll, round_up
 from .matching import _pad_to, pairwise_sqdist
 
 _BITS = 10  # 10 bits/axis -> 30-bit codes, int32-safe
@@ -148,7 +148,14 @@ def morton_nn(
     p = p.astype(jnp.float32)
 
     n_pad = round_up(n, chunk)
-    p_sorted = _pad_to(p, n_pad, 0.0)
+    # pad with the LAST REAL point, not zeros: the per-chunk probe below
+    # reads a fixed row of each chunk, and a zero-pad probe would quantize
+    # to the origin cell and center the final chunk's band at an arbitrary
+    # rank — silently mismatching up to chunk/2 real tail points whenever
+    # n % chunk lands the probe row in the padding (review find r3)
+    p_sorted = jnp.concatenate(
+        [p, jnp.broadcast_to(p[n - 1], (n_pad - n, 3))]
+    ) if n_pad > n else p
 
     band = chunk + 2 * window
     num_chunks = n_pad // chunk
@@ -188,10 +195,7 @@ def morton_nn(
     # Statically unroll `unroll` chunks per map step: each per-chunk tile is
     # tiny (band reads + a [chunk, band] distance block), so the XLA loop
     # step overhead (~8 µs on the TPU runtime) would dominate at large N.
-    u = unroll
-    while num_chunks % u:
-        u //= 2
-    u = max(u, 1)
+    u = fit_unroll(num_chunks, unroll)
 
     def per_group(args):
         pcs, bs = args  # [u, chunk, 3], [u]
@@ -255,10 +259,7 @@ def knn_morton(
         neg_top, pos = lax.top_k(-d, k)
         return base + pos.astype(jnp.int32), -neg_top
 
-    u = unroll
-    while num_chunks % u:
-        u //= 2
-    u = max(u, 1)
+    u = fit_unroll(num_chunks, unroll)
 
     def per_group(args):
         pcs, bs = args
@@ -317,7 +318,11 @@ def seam_miss_rate(
     _, d_band, _, _ = morton_nn(p, table, None, chunk=chunk, window=window,
                                 unroll=unroll)
 
-    stride = max(1, n // sample)
+    # ceil stride: floor would leave the highest-Morton-rank tail (a whole
+    # curve corner, where top-bit seam misses concentrate) unprobed
+    # whenever n is not a multiple of sample (review find r3, same fix as
+    # tune_morton's probe)
+    stride = max(1, -(-n // sample))
     rows = jnp.arange(sample, dtype=jnp.int32) * stride
     rows = jnp.clip(rows, 0, n - 1)
     p_s = jnp.take(p, rows, axis=0)

@@ -48,7 +48,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.cloud import round_up
+from ..core.cloud import fit_unroll, round_up
 from .morton import MortonTable, morton_codes
 
 _SUBLANES = 8  # augmented coordinate rows in the transposed tables
@@ -70,17 +70,9 @@ _PACKED_ROWS = _GROUP * len(_PAIRS)  # 96 <= 128: still one MXU pass
 _Q_SLAB_ROWS = (0 * _GROUP, 1 * _GROUP, 3 * _GROUP)
 
 
-def _split3_f32(x):
-    """Triple-bf16 split values (as f32): x = h + m + l exactly.
-
-    ``lax.reduce_precision`` is mandatory: a plain ``x - bf16(x)`` pair is
-    elided under XLA's default --xla_allow_excess_precision=true.
-    """
-    h = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
-    r = x - h
-    m = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
-    l = jax.lax.reduce_precision(r - m, exponent_bits=8, mantissa_bits=7)
-    return h, m, l
+# the split lives in matching_pallas (the base kernel module) — one
+# implementation of the reduce_precision triple-bf16 split to keep in sync
+from .matching_pallas import split3_f32 as _split3_f32
 
 
 def _pack6(xT: jnp.ndarray, side: int) -> jnp.ndarray:
@@ -241,10 +233,7 @@ def morton_nn_pallas(
 
     n_pad = round_up(n, chunk)
     num_chunks = n_pad // chunk
-    u = unroll
-    while num_chunks % u:
-        u //= 2
-    u = max(u, 1)
+    u = fit_unroll(num_chunks, unroll)
     num_groups = num_chunks // u
 
     # +_ALIGN slack: bases are rounded down to the 128-lane alignment, which
@@ -278,7 +267,13 @@ def morton_nn_pallas(
 
     # per-chunk band bases (128-aligned for the lane-dim DMA), via one
     # searchsorted over the N/chunk probe codes
-    p_padded = jnp.zeros((n_pad, 3), jnp.float32).at[:n].set(p)
+    # probe rows must never be padding: a zero-pad probe quantizes to the
+    # origin cell and centers the final chunk's band at an arbitrary rank
+    # (review find r3, same fix as ops/morton.py) — pad with the last real
+    # point for the probe computation (the kernel's own padding masks via
+    # the [4,:] = 1e9 surrogate column, unaffected by this)
+    p_padded = (jnp.broadcast_to(p[n - 1], (n_pad, 3)).at[:n].set(p)
+                if n_pad > n else p)
     probe_pts = p_padded.reshape(num_chunks, chunk, 3)[:, chunk // 2, :]
     probe_codes = morton_codes(probe_pts, table.lo, table.inv_extent)
     ranks = jnp.searchsorted(table.codes_sorted, probe_codes).astype(jnp.int32)

@@ -276,7 +276,7 @@ def ndt_lookup_banded(
     tests; parity on the production sizes is re-checked on hardware
     (scripts/tpu_smoke.py).
     """
-    from ..core.cloud import round_up
+    from ..core.cloud import fit_unroll, round_up
     from jax import lax
 
     n = points.shape[0]
@@ -315,10 +315,7 @@ def ndt_lookup_banded(
         )  # [chunk, 16] — one-hot extraction, exact in f32
         return row, hit
 
-    u = unroll
-    while num_chunks % u:
-        u //= 2
-    u = max(u, 1)
+    u = fit_unroll(num_chunks, unroll)
 
     def per_group(args):
         kcs, bs = args  # [u, chunk], [u]

@@ -72,7 +72,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.cloud import round_up
+from ..core.cloud import fit_unroll, round_up
 from .morton_pallas import _pack6
 from .ndt import _AXIS_BITS, _KEY_PAD, NDTGrid, _cells_raw, _in_range, _pack
 
@@ -330,10 +330,7 @@ def ndt_fused_moments(
 
     n_pad = round_up(n, chunk)
     num_chunks = n_pad // chunk
-    u = unroll
-    while num_chunks % u:
-        u //= 2
-    u = max(u, 1)
+    u = fit_unroll(num_chunks, unroll)
     num_groups = num_chunks // u
 
     # ---- query cell pack (mask matmul side 0): [-2c, 1, |c|²]

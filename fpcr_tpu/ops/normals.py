@@ -115,6 +115,35 @@ def knn(
     return best_i[:n], best_d[:n]
 
 
+def self_knn(
+    q: jnp.ndarray,
+    kk: int,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    chunk: int = 2048,
+    tile: int = 2048,
+    exact: bool = False,
+    banded_threshold: int = 100_000,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Self-kNN dispatch shared by the neighborhood prepasses
+    (``estimate_normals``, ``fpfh_features``): the O(M²) streaming search
+    below ``banded_threshold`` points, the Morton-banded O(M·band) search
+    above it. ``kk`` INCLUDES the self slot (callers drop column 0).
+
+    * the banded chunk is clamped monotonically at 1024: smaller chunks
+      (e.g. 256) halve the Morton seam coverage on >100k clouds (the
+      banded window extends half a chunk each side);
+    * ``exact=True`` (difference-form, cancellation-free distances) is
+      honored at EVERY size — the approximate banded search cannot provide
+      it, so the streaming path is used instead of silently degrading.
+    """
+    if q.shape[0] > banded_threshold and not exact:
+        from .morton import knn_morton
+
+        return knn_morton(q, kk, mask, chunk=min(chunk, 1024))
+    return knn(q, q, kk, mask, chunk=chunk, tile=tile, exact=exact)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "chunk", "tile", "exact", "include_self",
                               "banded_threshold")
@@ -152,15 +181,8 @@ def estimate_normals(
     # Above banded_threshold points the O(M²) streaming search gives way to
     # the Morton-banded O(M·band) search (ops/morton.py) — PCA normals only
     # need *near* neighbors, which the bands always contain.
-    if m > banded_threshold:
-        from .morton import knn_morton
-
-        # monotonic clamp: the band is chunk + 2*window, so clamping to 256
-        # would halve seam coverage vs the 1024 default — cap at 1024
-        idx_all, _ = knn_morton(q, k + 1, mask, chunk=min(chunk, 1024))
-    else:
-        idx_all, _ = knn(q, q, k + 1, mask, chunk=chunk, tile=tile,
-                         exact=exact)
+    idx_all, _ = self_knn(q, k + 1, mask, chunk=chunk, tile=tile,
+                          exact=exact, banded_threshold=banded_threshold)
     nbr_idx = idx_all[:, 0:] if include_self else idx_all[:, 1:]  # [M, k(+1)]
 
     nbrs = jnp.take(q, nbr_idx, axis=0)  # [M, kk, 3]

@@ -75,3 +75,39 @@ def test_near_degenerate_pair_stable():
     v, lam = smallest_eigenvector(jnp.asarray(A))
     assert np.all(np.isfinite(np.asarray(v)))
     np.testing.assert_allclose(np.linalg.norm(np.asarray(v)), 1.0, atol=1e-4)
+
+
+def test_eigh3_isotropic_matrix_orthonormal_frame():
+    """A = λI (isotropic voxel, e.g. duplicate/symmetric points): every
+    eigenvector fallback fires, and the returned frame must STILL be
+    orthonormal — V diag(1/λ) Vᵀ must reconstruct I/λ (review find r3:
+    a fixed-axis v_mid fallback gave a non-orthonormal frame and an
+    O(1)-wrong inverse covariance)."""
+    from fpcr_tpu.ops.eigh3 import eigh3
+
+    for lam in (1.0, 0.25):
+        A = jnp.asarray(lam * np.eye(3, dtype=np.float32))[None]
+        lams, vecs = eigh3(A)
+        V = np.asarray(vecs)[0]
+        np.testing.assert_allclose(V.T @ V, np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lams)[0], [lam] * 3, atol=1e-6)
+        sinv = V @ np.diag(1.0 / np.asarray(lams)[0]) @ V.T
+        np.testing.assert_allclose(sinv, np.eye(3) / lam, atol=1e-5)
+
+
+def test_eigh3_near_isotropic_batch():
+    """Randomly rotated near-repeated spectra stay orthonormal."""
+    from fpcr_tpu.ops.eigh3 import eigh3
+
+    rng = np.random.default_rng(5)
+    mats = []
+    for _ in range(64):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        lam = 1.0 + rng.uniform(-1e-6, 1e-6, 3)
+        mats.append((q * lam) @ q.T)
+    A = jnp.asarray(np.stack(mats).astype(np.float32))
+    _, vecs = eigh3(A)
+    V = np.asarray(vecs)
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), V.shape)
+    np.testing.assert_allclose(np.einsum("bij,bik->bjk", V, V), eye,
+                               atol=1e-4)

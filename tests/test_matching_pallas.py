@@ -95,3 +95,19 @@ def test_packed6_rejects_unknown_mode(clouds):
     p, q = clouds
     with pytest.raises(ValueError):
         nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q), mode="fast")
+
+
+def test_pallas_all_masked_target_returns_inf(clouds):
+    """No valid target => dmin inf, same unmatched convention as nn_argmin
+    (review find r3: the kernel's 1e30 invalid surrogate used to leak out
+    as a finite distance)."""
+    p, q = clouds
+    mask = np.zeros(q.shape[0], bool)
+    _, d = nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q),
+                            jnp.asarray(mask))
+    assert np.isinf(np.asarray(d)).all()
+    # and the XLA reference path agrees
+    from fpcr_tpu.ops.matching import nn_argmin
+
+    _, d_ref = nn_argmin(jnp.asarray(p), jnp.asarray(q), jnp.asarray(mask))
+    assert np.isinf(np.asarray(d_ref)).all()

@@ -467,3 +467,36 @@ def test_tune_morton_far_from_origin_scale_aware():
     cfg = tune_morton(cloud + 0.002, cloud, cfg0)
     assert cfg.morton_rescue < cloud.shape[0] // 4, cfg
     assert cfg.morton_rescue == 0 and cfg.morton_shifts == cfg0.morton_shifts, cfg
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_morton_probe_never_reads_padding(impl):
+    """n % chunk in [1, chunk//2] puts the fixed probe row of the final
+    chunk INSIDE the padding; zero-padding would quantize the probe to the
+    origin cell and center the band at an arbitrary rank, mismatching the
+    real tail points (review find r3). The cloud lives far from the origin
+    in all-positive coordinates to make that failure visible."""
+    rng = np.random.default_rng(13)
+    n = 800  # chunk=256: last chunk holds 32 real rows, probe row 128 > 32
+    q = (rng.uniform(0, 2, size=(n, 3)) + 10.0).astype(np.float32)
+    p = (q + rng.normal(scale=0.001, size=q.shape)).astype(np.float32)
+
+    table = build_morton_table(jnp.asarray(q))
+    order = source_morton_order(jnp.asarray(p), table)
+    p_sorted = jnp.take(jnp.asarray(p), order, axis=0)
+
+    if impl == "xla":
+        _, dmin, idx_sorted, _ = morton_nn(p_sorted, table,
+                                           chunk=256, window=256)
+    else:
+        from fpcr_tpu.ops.morton_pallas import morton_nn_pallas
+
+        _, dmin, idx_sorted, _ = morton_nn_pallas(
+            p_sorted, table, chunk=256, window=256, interpret=True)
+    ref_idx, _ = np_nn(np.asarray(p_sorted), q)
+    got_idx = np.asarray(table.orig_index)[np.asarray(idx_sorted)]
+    # the tail rows (the final chunk) must agree with brute force like the
+    # rest — a padding-centered band would miss essentially all of them
+    tail = slice(768, 800)
+    agree_tail = (got_idx[tail] == ref_idx[tail]).mean()
+    assert agree_tail > 0.9, agree_tail
