@@ -23,7 +23,11 @@ def fit_unroll(num_chunks: int, unroll: int) -> int:
     (>= 1). Every chunked kernel statically unrolls ``u`` chunks per loop
     step to amortize the ~8 µs XLA loop-step overhead; the unroll must
     divide the chunk count exactly."""
-    u = unroll
+    if unroll < 1:
+        raise ValueError(f"unroll must be >= 1, got {unroll}")
+    # start from the largest power of two <= unroll (halving from a
+    # non-power-of-two like 6 would skip the valid divisor 4)
+    u = 1 << (unroll.bit_length() - 1)
     while num_chunks % u:
         u //= 2
     return max(u, 1)

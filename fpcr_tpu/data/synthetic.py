@@ -74,11 +74,13 @@ def transformed_scene(
 
 def random_cloud(
     n: int,
-    key=None,
     seed: int = 0,
     scale: float = 1.0,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Uniform random test cloud (for property tests and large-N benchmarks)."""
+    """Uniform random test cloud (for property tests and large-N
+    benchmarks). Seeded by ``seed`` only (a silently-ignored PRNG ``key``
+    parameter was removed — review find r3: two "different" keys returned
+    byte-identical clouds)."""
     rng = np.random.default_rng(seed)
     return jnp.asarray(rng.uniform(-scale, scale, size=(n, 3)), dtype=dtype)

@@ -163,11 +163,18 @@ def run_aa_icp(
 
     def body(st: _AAState) -> _AAState:
         x = st.transform_vec
-        gx, err_plain, aux = plain_step(x)
+        gx, _, aux = plain_step(x)
         f = gx - x
 
         x_acc = _aa_mix(st.hist_x, st.hist_f, st.hist_len, x, f, reg=1e-10)
+        # Safeguard comparison MUST score both candidates with the same
+        # operator (fresh matches at the candidate pose). icp_iteration's
+        # error is the post-step RMSE against the PRE-step matches —
+        # systematically higher than a fresh-match RMSE at an equally good
+        # pose, which would bias acceptance toward the extrapolation
+        # (review find r3; Pavlov et al. §III.B wants like-for-like).
         err_acc = eval_error(apply_vec(x_acc))
+        err_plain = eval_error(apply_vec(gx))
 
         use_acc = jnp.logical_and(st.hist_len > 0, err_acc < err_plain)
         x_next = jnp.where(use_acc, x_acc, gx)

@@ -54,12 +54,15 @@ class GlobalRegResult(NamedTuple):
 
 def _estimate_spacing(cloud: jnp.ndarray, sample: int = 1024) -> jnp.ndarray:
     """Median nearest-neighbor distance of a subsample — the scale unit for
-    the RANSAC inlier threshold."""
-    n = cloud.shape[0]
-    stride = max(1, n // sample)
-    sub = cloud[::stride]
-    _, d2 = knn(sub, cloud, 2)  # nearest is self (distance 0)
-    return jnp.sqrt(jnp.maximum(jnp.median(d2[:, 1]), 1e-30))
+    the RANSAC inlier threshold. Delegates to the hardened
+    ``ops.grid.suggest_cell_size`` (scale=1): a plain median collapses to
+    ~0 on duplicate-heavy clouds, making tau ~ 0 so NO correspondence can
+    ever be an inlier (review find r3 — same failure the NDT auto
+    voxel-size had)."""
+    from ..ops.grid import suggest_cell_size
+
+    return jnp.maximum(suggest_cell_size(cloud, sample=sample, scale=1.0),
+                       1e-12)
 
 
 def _batched_kabsch(ps: jnp.ndarray, qs: jnp.ndarray):

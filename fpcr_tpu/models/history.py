@@ -155,27 +155,39 @@ def run_icp_with_history(
     )
 
 
+def _checkpoint_paths(path: Union[str, Path]) -> tuple:
+    """ONE filename convention for save and load: numpy APPENDS '.npz' to a
+    path without that suffix, so both sides must do the same — a
+    with_suffix() on load would REPLACE a foreign suffix ('run.ckpt' →
+    'run.npz') and miss the 'run.ckpt.npz' that save actually wrote
+    (review find r3). The config sidecar sits next to the npz."""
+    path = Path(path)
+    npz = path if path.suffix == ".npz" else path.with_name(path.name + ".npz")
+    sidecar = npz.with_name(npz.name[: -len(".npz")] + ".config.json")
+    return npz, sidecar
+
+
 def save_checkpoint(path: Union[str, Path], history: ICPHistory,
                     config: ICPConfig) -> Path:
-    """Persist a registration run (npz arrays + json config sidecar)."""
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
+    """Persist a registration run (npz arrays + json config sidecar).
+    Returns the actual npz path written ('.npz' appended if absent)."""
+    npz, sidecar = _checkpoint_paths(path)
+    npz.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(
-        path,
+        npz,
         **{k: np.asarray(v) for k, v in history._asdict().items()
            if k != "transform"},
         rotation=np.asarray(history.transform.rotation),
         translation=np.asarray(history.transform.translation),
     )
-    sidecar = path.with_suffix(".config.json")
     sidecar.write_text(json.dumps(dataclasses.asdict(config), indent=2))
-    return path
+    return npz
 
 
 def load_checkpoint(path: Union[str, Path]):
     """Load a saved run → (ICPHistory of numpy arrays, ICPConfig)."""
-    path = Path(path)
-    data = np.load(path if path.suffix == ".npz" else path.with_suffix(".npz"))
+    npz, config_path = _checkpoint_paths(path)
+    data = np.load(npz)
     transform = RigidTransform(
         jnp.asarray(data["rotation"]), jnp.asarray(data["translation"])
     )
@@ -196,7 +208,6 @@ def load_checkpoint(path: Union[str, Path]):
         delta_t=data["delta_t"] if "delta_t" in data else None,
         delta_rot=data["delta_rot"] if "delta_rot" in data else None,
     )
-    config_path = path.with_suffix(".config.json")
     config = None
     if config_path.exists():
         config = ICPConfig(**json.loads(config_path.read_text()))

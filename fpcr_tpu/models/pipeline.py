@@ -39,7 +39,11 @@ def _subsample(x: jnp.ndarray, max_points: int) -> jnp.ndarray:
     n = x.shape[0]
     if n <= max_points:
         return x
-    step = n // max_points
+    # ceil stride: floor would degenerate to a PREFIX truncation whenever
+    # max_points < n < 2*max_points (e.g. bunny 8171 @ 4096 kept only the
+    # first half — review find r3), biasing the coarse pose toward one
+    # spatial region of scan-ordered clouds
+    step = -(-n // max_points)
     return x[:: step][:max_points]
 
 

@@ -65,6 +65,20 @@ def register(
             cfg = dataclasses.replace(cfg, metric=method)
         return run_icp(source, target, cfg)
 
+    if method == "sgd":
+        from .sgd_icp import run_sgd_icp
+
+        if config is not None:
+            return run_sgd_icp(source, target, config)
+        if config_kw:
+            return run_sgd_icp(source, target, ICPConfig(**config_kw))
+        # no explicit config: keep run_sgd_icp's SGD-tuned defaults
+        # (200 iterations / 1e-5 EMA tolerance) — a plain ICPConfig()'s
+        # 40 iters / 1e-6 stops the stochastic path far from the optimum
+        # (the lr anneal has barely decayed and batch-noise EMA deltas
+        # never reach 1e-6; review find r3)
+        return run_sgd_icp(source, target)
+
     cfg = config or (ICPConfig(**config_kw) if config_kw else ICPConfig())
     if method == "ndt":
         from .ndt import register_ndt
@@ -91,11 +105,7 @@ def register(
             fine_config=dataclasses.replace(cfg, matcher=fine_matcher),
         )
         return c2f.fine._replace(transform=c2f.transform)
-    if method == "aa":
-        from .anderson import run_aa_icp
+    # method == "aa"
+    from .anderson import run_aa_icp
 
-        return run_aa_icp(source, target, cfg)
-    # method == "sgd"
-    from .sgd_icp import run_sgd_icp
-
-    return run_sgd_icp(source, target, cfg)
+    return run_aa_icp(source, target, cfg)

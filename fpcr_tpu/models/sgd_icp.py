@@ -50,7 +50,6 @@ class _SGDState(NamedTuple):
     transform_vec_t: jnp.ndarray  # [3] accumulated translation
     velocity: jnp.ndarray  # [6] momentum buffer (ω, t)
     ema_error: jnp.ndarray
-    prev_ema: jnp.ndarray
     errors: jnp.ndarray
     delta_t: jnp.ndarray
     delta_rot: jnp.ndarray
@@ -136,7 +135,7 @@ def run_sgd_icp(
         converged = jnp.logical_and(
             st.iteration > 10,  # let the EMA warm up
             jnp.logical_or(ema_err < tol,
-                           jnp.abs(ema_err - st.prev_ema) < tol))
+                           jnp.abs(ema_err - st.ema_error) < tol))
 
         it = st.iteration
         return _SGDState(
@@ -144,7 +143,6 @@ def run_sgd_icp(
             transform_vec_t=new_t,
             velocity=vel,
             ema_error=ema_err,
-            prev_ema=ema_err,
             errors=st.errors.at[it].set(ema_err),
             delta_t=st.delta_t.at[it].set(jnp.linalg.norm(vel[3:])),
             delta_rot=st.delta_rot.at[it].set(rotation_angle(d_rot)),
@@ -158,7 +156,6 @@ def run_sgd_icp(
         transform_vec_t=jnp.zeros(3, jnp.float32),
         velocity=jnp.zeros(6, jnp.float32),
         ema_error=jnp.float32(jnp.inf),
-        prev_ema=jnp.float32(jnp.inf),
         errors=nanvec,
         delta_t=nanvec,
         delta_rot=nanvec,

@@ -70,3 +70,31 @@ def test_config_matrix_smoke(metric, matcher, extra):
     R = np.asarray(res.transform.rotation)
     assert np.isfinite(R).all()
     assert float(f.transform_rmse(res.transform, gt, src)) < 5e-2
+
+
+def test_pipeline_subsample_spans_whole_cloud():
+    """max_points < n < 2*max_points must still sample the WHOLE cloud —
+    floor stride degenerated to a prefix truncation (review find r3: the
+    default bunny 8171 @ 4096 kept only the first half, biasing the
+    coarse pose on scan-ordered clouds)."""
+    from fpcr_tpu.models.pipeline import _subsample
+
+    x = jnp.arange(8171, dtype=jnp.float32)[:, None] * jnp.ones((1, 3))
+    sub = np.asarray(_subsample(x, 4096))[:, 0]
+    assert sub.shape[0] <= 4096
+    assert sub.max() > 8000  # reaches the tail
+    assert sub.min() == 0.0
+
+
+def test_register_sgd_uses_sgd_defaults():
+    """register(method='sgd') without a config keeps run_sgd_icp's tuned
+    defaults (200 iters / 1e-5) instead of clobbering them with a plain
+    ICPConfig (review find r3) — observable as actually converging."""
+    import fpcr_tpu as f
+
+    scene = f.synthetic_scene(width=20)
+    res = f.register(scene.source, scene.target, method="sgd")
+    err = float(f.transform_rmse(res.transform, scene.ground_truth,
+                                 scene.source))
+    assert err < 5e-2, err
+    assert int(res.num_iterations) > 40  # the plain-ICPConfig cap

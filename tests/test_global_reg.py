@@ -112,3 +112,16 @@ def test_mutual_filter_reduces_correspondences():
     without = f.global_registration(src, tgt, mutual=False)
     assert int(with_f.num_correspondences) < int(without.num_correspondences)
     assert int(with_f.num_correspondences) > 20
+
+
+def test_ransac_threshold_robust_to_duplicate_targets():
+    """Duplicate-heavy clouds: the auto RANSAC tau must come from the
+    positive-spacing median (review find r3: a plain median NN distance
+    collapsed to ~1e-15, so no correspondence could ever be an inlier)."""
+    from fpcr_tpu.models.global_reg import _estimate_spacing
+
+    rng = np.random.default_rng(17)
+    base = rng.uniform(-1, 1, (128, 3)).astype(np.float32)
+    dup = base[rng.integers(0, 128, 4096)]  # each point ~32x duplicated
+    spacing = float(_estimate_spacing(jnp.asarray(dup)))
+    assert np.isfinite(spacing) and spacing > 1e-4, spacing

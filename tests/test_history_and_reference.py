@@ -249,3 +249,29 @@ def test_hall_strict_point_metric_gt_recovery():
                     f.ICPConfig(max_iterations=100))
     assert float(f.transform_rmse(res.transform, scene.ground_truth,
                                   scene.source)) < 1e-4
+
+
+def test_checkpoint_foreign_suffix_roundtrip(tmp_path):
+    """save/load agree on filenames for NON-.npz paths: numpy appends
+    '.npz' on save, so load must do the same instead of replacing the
+    suffix (review find r3: save('run.ckpt') wrote run.ckpt.npz but
+    load('run.ckpt') looked for run.npz, and the config sidecar names
+    diverged the same way)."""
+    import fpcr_tpu as f
+    from fpcr_tpu.models.history import load_checkpoint, run_icp_with_history
+
+    scene = f.synthetic_scene(width=10)
+    cfg = f.ICPConfig(max_iterations=15)
+    hist = run_icp_with_history(scene.source, scene.target, cfg)
+
+    written = save_checkpoint(tmp_path / "run.ckpt", hist, cfg)
+    assert written.exists() and written.name == "run.ckpt.npz"
+    loaded, cfg_back = load_checkpoint(tmp_path / "run.ckpt")
+    assert cfg_back == cfg  # sidecar found, not silently None
+    np.testing.assert_allclose(np.asarray(loaded.transform.translation),
+                               np.asarray(hist.transform.translation),
+                               atol=0)
+    # loading by the actual npz name works too
+    loaded2, cfg2 = load_checkpoint(written)
+    assert cfg2 == cfg
+    np.testing.assert_allclose(loaded2.errors, loaded.errors, atol=0)

@@ -99,3 +99,18 @@ def test_evaluate_registration_metrics():
     assert float(ev_bad["fitness"]) < 0.5
     # inlier RMSE never exceeds the gate
     assert float(ev_bad["inlier_rmse"]) <= 0.05 + 1e-6
+
+
+def test_fit_unroll_contract():
+    """Largest power-of-two divisor <= unroll; validates unroll >= 1."""
+    import pytest
+
+    from fpcr_tpu.core.cloud import fit_unroll
+
+    assert fit_unroll(4, 6) == 4      # non-power-of-two unroll
+    assert fit_unroll(4, 16) == 4
+    assert fit_unroll(12, 8) == 4
+    assert fit_unroll(7, 8) == 1      # odd chunk counts
+    assert fit_unroll(64, 16) == 16
+    with pytest.raises(ValueError):
+        fit_unroll(4, 0)
