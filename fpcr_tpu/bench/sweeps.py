@@ -131,6 +131,12 @@ def matching_benchmark(
             lambda x: nn_argmin_pallas(x, q, mode="packed6")[0], p),
         "morton": (lambda x: morton_nn_pallas(x, table)[2], p_sorted),
     }
+    unknown = [v for v in variants if v not in impls]
+    if unknown:
+        # fail BEFORE timing anything — a mid-run KeyError after minutes of
+        # measurement would lose the completed results
+        raise ValueError(f"unknown matching variants {unknown}; "
+                         f"valid: {sorted(impls)}")
     results = {"n": actual_n}
     for name in variants:
         run, arg = impls[name]

@@ -104,8 +104,12 @@ def _cmd_run(args) -> int:
     if args.profile:
         from .utils.timing import profile_icp
 
-        timer = profile_icp(scene.source, scene.target, config,
-                            iterations=args.profile_iters)
+        try:
+            timer = profile_icp(scene.source, scene.target, config,
+                                iterations=args.profile_iters)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(timer.report())
         return 0
 
@@ -150,18 +154,27 @@ def _cmd_run(args) -> int:
     else:
         t0 = time.perf_counter()
         res = f.run_icp(scene.source, scene.target, config)
-    jax.block_until_ready(res.errors)
+    # a real device->host sync before stopping the timer: through the
+    # axon tunnel block_until_ready returns at ENQUEUE, not completion
+    # (the same pitfall bench.py documents), so wall_seconds would
+    # otherwise exclude device execution on the TPU
+    ni = int(res.num_iterations)
     wall = time.perf_counter() - t0
 
-    ni = int(res.num_iterations)
     errors = np.asarray(res.errors)[:ni]
     rmse_gt = (None if scene.ground_truth is None else
                float(f.transform_rmse(res.transform, scene.ground_truth,
                                       scene.source)))
 
+    pipeline = next((name for name, on in [
+        ("anderson", args.anderson), ("sgd", args.sgd),
+        ("coarse_to_fine", args.coarse_to_fine),
+        ("distributed", args.distributed), ("global_init", args.global_init),
+        ("ndt_init", args.ndt_init)] if on), "icp")
     payload = {
         "dataset": args.dataset,
         "metric": args.metric,
+        "pipeline": pipeline,
         "n_source": int(scene.source.shape[0]),
         "iterations": ni,
         "converged": bool(res.converged),
@@ -225,7 +238,14 @@ def _cmd_sweep(args) -> int:
     _maybe_force_cpu(args)
     from .bench.sweeps import time_complexity_sweep
 
-    lo, hi = (int(x) for x in args.widths.split(":"))
+    try:
+        lo, hi = (int(x) for x in args.widths.split(":"))
+        if lo < 2 or hi < lo:
+            raise ValueError
+    except ValueError:
+        print(f"error: --widths wants 'lo:hi' with 2 <= lo <= hi "
+              f"(got {args.widths!r})", file=sys.stderr)
+        return 2
     rows = time_complexity_sweep(
         metric=args.metric,
         widths=range(lo, hi + 1),
@@ -326,16 +346,17 @@ def main(argv=None) -> int:
                      help="max correspondence distance (robust/trimmed ICP)")
     run.add_argument("--robust", default=None, choices=["huber", "tukey"],
                      help="IRLS robust loss reweighting")
-    run.add_argument("--sgd", action="store_true",
-                     help="SGD-ICP: stochastic mini-batch registration "
-                          "(arXiv:1907.09133); see also --sgd-batch")
+    pipe = run.add_mutually_exclusive_group()
+    pipe.add_argument("--sgd", action="store_true",
+                      help="SGD-ICP: stochastic mini-batch registration "
+                           "(arXiv:1907.09133); see also --sgd-batch")
     run.add_argument("--sgd-batch", type=int, default=1024, dest="sgd_batch")
-    run.add_argument("--anderson", action="store_true",
-                     help="AA-ICP: Anderson-accelerated iteration "
-                          "(fewer iterations, safeguarded)")
-    run.add_argument("--coarse-to-fine", action="store_true",
-                     help="coarse brute-force ICP on subsets, then fine "
-                          "grid-matched ICP on the full clouds (large-N path)")
+    pipe.add_argument("--anderson", action="store_true",
+                      help="AA-ICP: Anderson-accelerated iteration "
+                           "(fewer iterations, safeguarded)")
+    pipe.add_argument("--coarse-to-fine", action="store_true",
+                      help="coarse brute-force ICP on subsets, then fine "
+                           "grid-matched ICP on the full clouds (large-N path)")
     run.add_argument("--coarse-points", type=int, default=4096)
     run.add_argument("--grid-cell-size", type=float, default=None)
     run.add_argument("--grid-cap", type=int, default=8)
@@ -351,15 +372,15 @@ def main(argv=None) -> int:
                           "translation (default is strict reference order)")
     run.add_argument("--morton-impl", default="auto",
                      choices=["auto", "xla", "pallas"])
-    run.add_argument("--distributed", action="store_true",
-                     help="shard source points over all devices")
-    run.add_argument("--global-init", action="store_true", dest="global_init",
-                     help="FPFH + RANSAC global registration first, then "
-                          "ICP refinement (no initial-pose assumption)")
-    run.add_argument("--ndt-init", action="store_true", dest="ndt_init",
-                     help="NDT (voxel Gaussian field) coarse+fine "
-                          "initialization, then ICP refinement — the "
-                          "wide-basin pipeline without feature matching")
+    pipe.add_argument("--distributed", action="store_true",
+                      help="shard source points over all devices")
+    pipe.add_argument("--global-init", action="store_true", dest="global_init",
+                      help="FPFH + RANSAC global registration first, then "
+                           "ICP refinement (no initial-pose assumption)")
+    pipe.add_argument("--ndt-init", action="store_true", dest="ndt_init",
+                      help="NDT (voxel Gaussian field) coarse+fine "
+                           "initialization, then ICP refinement — the "
+                           "wide-basin pipeline without feature matching")
     run.add_argument("--ndt-voxel", type=float, default=None,
                      help="NDT voxel size (default: auto from target spacing)")
     run.add_argument("--profile", action="store_true",

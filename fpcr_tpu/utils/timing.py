@@ -135,7 +135,24 @@ def profile_icp(
     """Stepwise (unfused) ICP with per-phase blocking timers — the
     diagnostic twin of the production single-jit loop, reproducing the
     reference's matching/minimization/transformation/error breakdown.
+
+    Supports the reference's two metrics (point / plane) with the brute
+    streaming matcher ONLY — silently profiling a DIFFERENT algorithm than
+    the one configured would mislead (review find r3), so anything else is
+    rejected with a clear error.
     """
+    if config.metric not in ("point", "plane"):
+        raise ValueError(
+            f"profile_icp breaks down the point/plane pipelines; "
+            f"metric={config.metric!r} has a different solve structure — "
+            "time it end-to-end with utils.timing.benchmark / bench.py "
+            "instead")
+    if config.matcher not in ("xla",):
+        raise ValueError(
+            f"profile_icp times the brute streaming matcher; "
+            f"matcher={config.matcher!r} is not represented in this "
+            "breakdown — use scripts/exp_match_kernels.py or cli "
+            "match-bench for kernel-level numbers")
     from ..core.metrics import rmse
     from ..ops.matching import gather_correspondences, nn_argmin
     from ..ops.normals import estimate_normals

@@ -262,3 +262,34 @@ def test_cli_convert_formats(tmp_path, capsys):
     rc = cli_main(["convert", "--input", str(tmp_path / "a.csv"),
                    "--output", str(tmp_path / "bad.obj")])
     assert rc == 2
+
+
+def test_cli_pipeline_flags_mutually_exclusive(capsys):
+    with pytest.raises(SystemExit):
+        cli_main(["run", "--width", "12", "--sgd", "--distributed"])
+    assert "not allowed with" in capsys.readouterr().err
+
+
+def test_cli_profile_rejects_unsupported_combo(capsys):
+    """--profile times the point/plane + brute-matcher breakdown; silently
+    profiling a DIFFERENT algorithm than configured misleads (review r3)."""
+    rc = cli_main(["run", "--width", "12", "--metric", "gicp", "--profile"])
+    assert rc == 2
+    assert "different solve structure" in capsys.readouterr().err
+    rc = cli_main(["run", "--width", "12", "--matcher", "morton",
+                   "--profile"])
+    assert rc == 2
+
+
+def test_cli_sweep_rejects_malformed_widths(capsys):
+    for bad in ("64", "3:x", "9:3"):
+        rc = cli_main(["sweep", "--widths", bad])
+        assert rc == 2, bad
+        assert "lo:hi" in capsys.readouterr().err
+
+
+def test_matching_benchmark_rejects_unknown_variant():
+    from fpcr_tpu.bench.sweeps import matching_benchmark
+
+    with pytest.raises(ValueError, match="unknown matching variants"):
+        matching_benchmark(n=256, variants=("xla", "nope"), repeats=1)
