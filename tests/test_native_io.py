@@ -75,3 +75,29 @@ def test_native_speedup_on_donut(have_native):
     np.array(open(path).read().split(), dtype=np.int64)
     t_py = time.perf_counter() - t0
     assert t_native < t_py
+
+
+def test_native_strict_error_contract(tmp_path):
+    """The native tokenizers RAISE on bad input instead of returning a
+    silently truncated/empty result (review find r3: a header line used to
+    come back as an empty cloud with no error, diverging from the numpy
+    fallback's ValueError)."""
+    from fpcr_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native extension not built")
+    hdr = tmp_path / "hdr.csv"
+    hdr.write_text("x;y;z\n1;2;3\n")
+    with pytest.raises(ValueError, match="unparsable token"):
+        native.read_xyz(hdr)
+    trailing = tmp_path / "trail.csv"
+    trailing.write_text("1 2 3\n4 5 6\n# comment\n")
+    with pytest.raises(ValueError, match="unparsable token"):
+        native.read_xyz(trailing)
+    big = tmp_path / "big.txt"
+    big.write_text("1 2 99999999999999999999999\n")
+    with pytest.raises(ValueError, match="out of range"):
+        native.read_int_lines(big)
+    missing = tmp_path / "nope.csv"
+    with pytest.raises(FileNotFoundError):
+        native.read_xyz(missing)
