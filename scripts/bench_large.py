@@ -20,10 +20,10 @@ sys.path.insert(0, "/root/repo")
 import fpcr_tpu as f  # noqa: E402
 
 
-def slope_time(run, src, tgt, lo_res, hi_res, lo, hi, repeats=3):
+def slope_time(run_lo, run_hi, src, tgt, lo, hi, repeats=3):
     eps = np.float32(1e-7)
 
-    def timed(fn, r):
+    def timed(fn):
         ts = []
         for k in range(repeats):
             s = src + eps * (k + 1)
@@ -35,8 +35,8 @@ def slope_time(run, src, tgt, lo_res, hi_res, lo, hi, repeats=3):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_lo = timed(lo_res, lo)
-    t_hi = timed(hi_res, hi)
+    t_lo = timed(run_lo)
+    t_hi = timed(run_hi)
     return (t_hi - t_lo) * 1e3 / (hi - lo)
 
 
@@ -62,7 +62,7 @@ def bench_size(width: int, matcher: str, lo=5, hi=25, cap=12, window=512,
         return run
 
     run_lo, run_hi = make(lo), make(hi)
-    ms = slope_time(None, src, tgt, run_lo, run_hi, lo, hi)
+    ms = slope_time(run_lo, run_hi, src, tgt, lo, hi)
     res = run_hi(src, tgt)
     print(json.dumps({
         "n": int(n), "matcher": matcher, "ms_per_iter": round(ms, 4),

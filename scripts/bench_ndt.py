@@ -86,6 +86,8 @@ if __name__ == "__main__":
     csv = None
     if "--csv" in args:
         i = args.index("--csv")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: bench_ndt.py [sizes...] --csv PATH")
         csv = args[i + 1]
         del args[i:i + 2]
         with open(csv, "w") as fh:

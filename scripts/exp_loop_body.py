@@ -5,8 +5,8 @@ Times fixed-iteration (tolerance=0) full loops via the slope method for:
   svd       — jnp.linalg.svd Kabsch (current default)
   polar     — Newton–Schulz polar-decomposition Kabsch (no SVD)
   svd+xla   — XLA brute matcher control
-  match-only— loop with solve replaced by identity (upper bound for the
-              matching share; isolates solve+apply+error cost by diff)
+(the matching share is isolated by diffing against the kernel-only
+numbers from scripts/exp_match_kernels.py, not by a match-only loop)
 
 Run on TPU: python scripts/exp_loop_body.py
 """

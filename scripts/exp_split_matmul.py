@@ -62,21 +62,10 @@ def _packed_kernel(p_ref, qT_ref, best_d_ref, best_i_ref):
     best_i_ref[:] = jnp.where(better, global_arg, best_i_ref[:])
 
 
-def _split3(x):
-    """Triple-bf16 split: x = h + m + l (24 mantissa bits) for f32 inputs.
-
-    Uses ``lax.reduce_precision`` for the roundings: with XLA's
-    ``--xla_allow_excess_precision=true`` a plain ``x - bf16(x).astype(f32)``
-    is elided to zero (the compiler keeps the f32 value through the cast).
-    reduce_precision is a semantic rounding op and survives.
-    """
-    h32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
-    r = x - h32
-    m32 = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
-    r2 = r - m32
-    l32 = jax.lax.reduce_precision(r2, exponent_bits=8, mantissa_bits=7)
-    return (h32.astype(jnp.bfloat16), m32.astype(jnp.bfloat16),
-            l32.astype(jnp.bfloat16))
+# the ONE library implementation of the reduce_precision triple-bf16
+# split — a local copy would silently measure stale semantics if the
+# library version is tuned (exp_packed_reduction.py imports it the same way)
+from fpcr_tpu.ops.matching_pallas import _split3  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_m", "terms"))

@@ -100,3 +100,4 @@ for trial in range(20):
         fails += 1
 
 print(f"done: {fails} failures / 80 trials", flush=True)
+sys.exit(1 if fails else 0)  # guard scripts must gate

@@ -70,6 +70,12 @@ def child(pid: int, port: int) -> None:
 
 
 def parent() -> int:
+    # NOTE: probe-then-bind is inherently TOCTOU (another process can take
+    # the port between the probe closing and the coordinator binding); an
+    # intermittent 'address already in use' here is that race, not a bug
+    # in the distributed path — just rerun. Ephemeral-port collisions are
+    # rare enough in this single-purpose container to not warrant a
+    # coordinator-side port handshake.
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -90,12 +96,22 @@ def parent() -> int:
         for i in range(N_PROCESSES)
     ]
     ok = True
-    for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
-        sys.stdout.write(out)
-        if p.returncode != 0 or "MULTIHOST OK" not in out:
-            ok = False
-            print(f"[parent] process {i} FAILED (rc={p.returncode})")
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=600)
+            sys.stdout.write(out)
+            if p.returncode != 0 or "MULTIHOST OK" not in out:
+                ok = False
+                print(f"[parent] process {i} FAILED (rc={p.returncode})")
+    finally:
+        # a hung child (coordinator deadlock, port clash) must not orphan
+        # the OTHER coordinator-connected process holding the port — kill
+        # both explicitly on any exit path (these are our own Popen
+        # handles, never pattern-matched process kills)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     print("[parent] multihost dryrun", "PASSED" if ok else "FAILED")
     return 0 if ok else 1
 

@@ -40,10 +40,13 @@ def read_two_col(path: Path):
     for line in path.read_text().strip().splitlines():
         a, b = line.split(",")[:2]
         try:
-            ns.append(int(float(a)))
-            ts.append(float(b))
+            # parse BOTH before appending either — a row with a numeric
+            # first field and junk second field must not desync the lists
+            n_v, t_v = int(float(a)), float(b)
         except ValueError:
-            continue  # header line (e.g. "NUM_POINTS,TIME")
+            continue  # header line (e.g. "NUM_POINTS,TIME") or bad row
+        ns.append(n_v)
+        ts.append(t_v)
     return ns, ts
 
 

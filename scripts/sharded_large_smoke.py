@@ -83,7 +83,7 @@ def main() -> int:
     print(f"stage2 {n:,} pts sharded x8: wall {wall:.1f}s "
           f"errors {errs} matched_fraction {frac} GT err {gt_err:.2e}")
     assert np.isfinite(errs).all()
-    assert errs[-1] < errs[0], errs  # the loop is actually converging
+    assert len(errs) < 2 or errs[-1] < errs[0], errs  # the loop is actually converging
     # morton's default auto_trim (9x iteratively-trimmed mean) keeps ~45%
     # of a UNIFORM random cloud — the gate is intentionally conservative;
     # structured scan geometry keeps far more (see hall/bunny tests)
