@@ -62,7 +62,7 @@ def evaluate_registration(
     target: jnp.ndarray,
     transform=None,
     *,
-    max_correspondence_dist: float = 0.02,
+    max_correspondence_dist: Optional[float] = None,
     target_mask: Optional[jnp.ndarray] = None,
     source_chunk: int = 2048,
     target_tile: int = 2048,
@@ -73,7 +73,8 @@ def evaluate_registration(
     Applies ``transform`` (None = identity, i.e. the clouds are already
     aligned), matches every source point to its nearest target point with
     the streaming MXU argmin, and reports over the matches within
-    ``max_correspondence_dist``:
+    ``max_correspondence_dist`` (None = auto: 2× the target's median point
+    spacing — a fixed constant would be meaningless across scene scales):
 
     * ``fitness`` — inlier matches / N (overlap estimate in [0, 1]);
     * ``inlier_rmse`` — RMS Euclidean distance over the inliers;
@@ -86,6 +87,10 @@ def evaluate_registration(
     """
     from ..ops.matching import nn_argmin
 
+    if max_correspondence_dist is None:
+        from ..ops.grid import suggest_cell_size
+
+        max_correspondence_dist = suggest_cell_size(target, scale=2.0)
     pts = source if transform is None else transform.apply(source)
     # exact (difference-form) distances: the matmul expansion's ~1e-7 f32
     # noise in squared units would floor the reported RMSE at ~3e-4 — too
@@ -102,4 +107,7 @@ def evaluate_registration(
         "fitness": num / pts.shape[0],
         "inlier_rmse": jnp.sqrt(mse),
         "num_inliers": num,
+        # the gate actually used (reports the auto-resolved value)
+        "max_correspondence_dist": jnp.asarray(max_correspondence_dist,
+                                               pts.dtype),
     }

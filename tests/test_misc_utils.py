@@ -114,3 +114,20 @@ def test_fit_unroll_contract():
     assert fit_unroll(64, 16) == 16
     with pytest.raises(ValueError):
         fit_unroll(4, 0)
+
+
+def test_evaluate_registration_auto_threshold():
+    """max_correspondence_dist=None resolves to 2x the target's median
+    spacing — scale-free fitness: the same aligned pair evaluates to
+    fitness 1 at ANY scene scale."""
+    import fpcr_tpu as f
+
+    scene = f.synthetic_scene(width=20)
+    res = f.icp_point_to_point(scene.source, scene.target,
+                               config=f.ICPConfig(max_iterations=40))
+    for s in (1.0, 100.0):
+        ev = f.evaluate_registration(scene.source * s, scene.target * s,
+                                     f.RigidTransform(res.transform.rotation,
+                                                      res.transform.translation * s))
+        assert float(ev["fitness"]) == 1.0, s
+        assert float(ev["max_correspondence_dist"]) > 0
