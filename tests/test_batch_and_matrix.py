@@ -1,7 +1,5 @@
 """Batched registration + configuration-matrix smoke tests."""
 
-import itertools
-
 import jax.numpy as jnp
 import numpy as np
 import pytest

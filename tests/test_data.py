@@ -6,15 +6,12 @@ import pytest
 
 from fpcr_tpu.data.bunny import bunny_scene, load_bunny, load_xyz_csv
 from fpcr_tpu.data.ouster import (
-    CHANNELS,
-    OusterFrame,
     hall_scene,
     load_hall_scan,
     parse_beam_intrinsics,
     parse_packets,
     polar_to_cartesian,
 )
-from fpcr_tpu.data.synthetic import surface_grid
 
 
 def test_load_bunny_resampled():

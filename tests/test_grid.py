@@ -12,10 +12,7 @@ from fpcr_tpu.ops.grid import (
 )
 from fpcr_tpu.ops.matching import nn_argmin
 
-
-def np_nn(p, q):
-    d = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
-    return d.argmin(1), d.min(1)
+from helpers import np_nn
 
 
 @pytest.fixture
@@ -115,8 +112,13 @@ def test_grid_nn_rejects_worker_crashing_sizes():
     with pytest.raises(ValueError, match="morton"):
         f.run_icp(big, jnp.zeros((256, 3), jnp.float32),
                   f.ICPConfig(matcher="grid", max_iterations=1))
-    # explicit opt-out still works (tiny cap keeps it CPU-cheap here)
-    idx, d, found = grid_nn(big[:64], table, cap=8)
+    # the override is REAL: a budget below even a tiny cloud's candidate
+    # count trips the guard, raising it past the budget lets the same
+    # call through (64 * 27 * 8 = 13,824 candidates)
+    with pytest.raises(ValueError, match="morton"):
+        grid_nn(big[:64], table, cap=8, max_candidate_gathers=10_000)
+    idx, d, found = grid_nn(big[:64], table, cap=8,
+                            max_candidate_gathers=20_000)
     assert idx.shape == (64,)
 
 

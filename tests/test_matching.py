@@ -11,10 +11,7 @@ from fpcr_tpu.ops.matching import (
     pairwise_sqdist_exact,
 )
 
-
-def np_nn(p, q):
-    d = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
-    return d.argmin(1), d.min(1)
+from helpers import np_nn
 
 
 @pytest.fixture

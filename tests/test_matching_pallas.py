@@ -7,10 +7,7 @@ import pytest
 from fpcr_tpu.ops.matching import nn_argmin
 from fpcr_tpu.ops.matching_pallas import nn_argmin_pallas
 
-
-def np_nn(p, q):
-    d = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
-    return d.argmin(1), d.min(1)
+from helpers import np_nn
 
 
 @pytest.fixture

@@ -19,9 +19,10 @@ import fpcr_tpu as f
 
 
 def _compose(a: f.RigidTransform, b: f.RigidTransform) -> f.RigidTransform:
-    # a ∘ b : apply b first, then a
-    return f.RigidTransform(a.rotation @ b.rotation,
-                            a.rotation @ b.translation + a.translation)
+    # a ∘ b : apply b first, then a — the library's precision-pinned
+    # compose (a hand-rolled default-precision matmul would build the
+    # EXPECTED transform less accurately than the path under test)
+    return a.compose(b)
 
 
 def _tf_dist(a: f.RigidTransform, b: f.RigidTransform, pts) -> float:

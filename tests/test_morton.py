@@ -12,10 +12,7 @@ from fpcr_tpu.ops.morton import (
     source_morton_order,
 )
 
-
-def np_nn(p, q):
-    d = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
-    return d.argmin(1), d.min(1)
+from helpers import crossing_walls, np_nn
 
 
 def test_morton_codes_locality():
@@ -253,16 +250,7 @@ def test_seam_miss_rate_probe_adversarial_walls():
     from fpcr_tpu.ops.morton import (build_morton_table, seam_miss_rate,
                                      source_morton_order)
 
-    rng = np.random.default_rng(3)
-    n_half = 4096
-    # wall A: x ∈ [-1,1], y ~ 0, z ∈ [-1,1]; wall B: x ~ 0, y ∈ [-1,1]
-    wall_a = np.stack([rng.uniform(-1, 1, n_half),
-                       rng.normal(0, 0.01, n_half),
-                       rng.uniform(-1, 1, n_half)], axis=1)
-    wall_b = np.stack([rng.normal(0, 0.01, n_half),
-                       rng.uniform(-1, 1, n_half),
-                       rng.uniform(-1, 1, n_half)], axis=1)
-    cloud = jnp.asarray(np.concatenate([wall_a, wall_b]).astype(np.float32))
+    cloud = jnp.asarray(crossing_walls(seed=3))
 
     table = build_morton_table(cloud, None)
     src = cloud + 0.002  # near-registered queries (the matcher's regime)
@@ -371,15 +359,7 @@ def test_tune_morton_adversarial_walls_under_2pct():
                                      tune_morton)
     from fpcr_tpu.ops.morton import build_morton_table, source_morton_order
 
-    rng = np.random.default_rng(3)
-    n_half = 4096
-    wall_a = np.stack([rng.uniform(-1, 1, n_half),
-                       rng.normal(0, 0.01, n_half),
-                       rng.uniform(-1, 1, n_half)], axis=1)
-    wall_b = np.stack([rng.normal(0, 0.01, n_half),
-                       rng.uniform(-1, 1, n_half),
-                       rng.uniform(-1, 1, n_half)], axis=1)
-    cloud = jnp.asarray(np.concatenate([wall_a, wall_b]).astype(np.float32))
+    cloud = jnp.asarray(crossing_walls(seed=3))
     src = cloud + 0.002
 
     cfg = tune_morton(src, cloud, f.ICPConfig(matcher="morton"))
@@ -426,15 +406,7 @@ def test_morton_rescue_registration_quality():
     matcher's seam tail is auto-trimmed OUT, shrinking the inlier set)."""
     from fpcr_tpu.models.icp import tune_morton
 
-    rng = np.random.default_rng(7)
-    n_half = 4096
-    wall_a = np.stack([rng.uniform(-1, 1, n_half),
-                       rng.normal(0, 0.01, n_half),
-                       rng.uniform(-1, 1, n_half)], axis=1)
-    wall_b = np.stack([rng.normal(0, 0.01, n_half),
-                       rng.uniform(-1, 1, n_half),
-                       rng.uniform(-1, 1, n_half)], axis=1)
-    cloud = jnp.asarray(np.concatenate([wall_a, wall_b]).astype(np.float32))
+    cloud = jnp.asarray(crossing_walls(seed=7))
     gt = f.gt_transform((0.004, -0.002, 0.003), (0.002, -0.003, 0.002))
     tgt = gt.apply(cloud)
 

@@ -68,13 +68,20 @@ def test_native_speedup_on_donut(have_native):
 
     path = str(asset("Donut_1024x16.csv"))
     native.read_int_lines(path)  # warm (build + page cache)
-    t0 = time.perf_counter()
-    native.read_int_lines(path)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.array(open(path).read().split(), dtype=np.int64)
-    t_py = time.perf_counter() - t0
-    assert t_native < t_py
+
+    def best_of(fn, n=5):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    # min-of-5 each: a single-shot comparison is scheduler-noise-dominated
+    t_native = best_of(lambda: native.read_int_lines(path))
+    t_py = best_of(
+        lambda: np.array(open(path).read().split(), dtype=np.int64))
+    assert t_native < t_py, (t_native, t_py)
 
 
 def test_native_strict_error_contract(tmp_path):

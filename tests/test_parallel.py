@@ -117,12 +117,16 @@ def test_distributed_ndt_matches_single_device(mesh8):
     cfg = NDTConfig(voxel_size=0.4, max_iterations=50)
     single = run_ndt(scene.source, tgt, cfg)
     dist = distributed_ndt(scene.source, tgt, cfg, mesh=mesh8)
+    # 1e-5 (not 1e-6): the 8-shard psum reduces in a different order than
+    # the flat single-device sum, and f32 reassociation noise over ~9k
+    # moments sits right at 1e-6 — the sibling banded/fused parity tests
+    # already use this tolerance
     np.testing.assert_allclose(np.asarray(dist.transform.rotation),
                                np.asarray(single.transform.rotation),
-                               atol=1e-6)
+                               atol=1e-5)
     np.testing.assert_allclose(np.asarray(dist.transform.translation),
                                np.asarray(single.transform.translation),
-                               atol=1e-6)
+                               atol=1e-5)
     assert float(dist.matched_fraction) > 0.9
     assert float(f.transform_rmse(dist.transform, gt, scene.source)) < 5e-3
 

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 import fpcr_tpu as f
 from fpcr_tpu.models.pose_graph import (

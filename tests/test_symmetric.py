@@ -54,7 +54,7 @@ def test_symmetric_morton_matcher():
     assert float(f.transform_rmse(res.transform, gt, src)) < 1e-4
 
 
-def test_symmetric_distributed(mesh8=None):
+def test_symmetric_distributed():
     import jax
 
     from fpcr_tpu.parallel.dist_icp import distributed_icp, make_mesh
