@@ -17,18 +17,195 @@ Measurement notes (this environment):
     per-iteration cost is the SLOPE between a short and a long run
     (ms/iter = (T(hi) - T(lo)) / (hi - lo)), min-of-k each — the same
     fixed-cost elimination the reference's min-of-10 policy aims at
-    (Matching_opt.cu:213-226).
+    (Matching_opt.cu:213-226);
+  * the tunnel can be DOWN (fast UNAVAILABLE) or WEDGED (backend init
+    hangs for many minutes while a killed client's lease expires). This
+    script is wedge-proof: it probes in subprocesses with patient
+    retry/backoff (default 30 min, --probe-deadline /
+    FPCR_BENCH_PROBE_DEADLINE_S) and on persistent unavailability exits 0
+    with a structured fallback record ("platform": "unavailable") citing
+    the last committed TPU artifacts plus a fresh CPU sanity value —
+    never a raw traceback (VERDICT r3 #1).
+
+--smoke runs the full hardware gate instead: probe -> scripts/tpu_smoke.py
+-> headline bench -> artifact refresh (VERDICT r3 #8).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import shlex
+import subprocess
 import sys
 import time
 
 BASELINE_MS_PER_ITER_16384 = 6.4944  # RTX 2060, point metric, reference CSV
 BASELINE_PLANE_MS_PER_ITER_16384 = 7.1085  # RTX 2060, plane metric
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# last-resort committed values (bench_results/tpu_report.json, round 3);
+# _load_committed() re-reads the artifact at runtime — these constants only
+# back it up if the artifact itself is unreadable.
+LAST_COMMITTED = {
+    "point_ms_per_iter_16384": 0.5562,
+    "plane_ms_per_iter_16384": 0.53,
+    "source": "bench_results/tpu_report.json icp_ladder_16384.pallas "
+              "(TPU, round 3, 2026-08-17)",
+}
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# TPU availability probe (wedge discipline — see .claude/skills/verify):
+#  * backend init can FAIL FAST (tunnel down: UNAVAILABLE within seconds) or
+#    HANG (wedged lease: jax.devices() blocks for many minutes);
+#  * a probe process killed mid-init RENEWS the wedged lease, so hangs get
+#    ONE long-patient probe with the whole remaining budget, never a
+#    kill/retry loop;
+#  * fast failures are retried with linear backoff until the deadline.
+# The probe runs in a subprocess so a hang can never wedge this process and
+# the main process only touches the backend after a probe succeeded.
+# ---------------------------------------------------------------------------
+
+_PROBE_CODE = (
+    "import jax, sys; d = jax.devices(); "
+    "sys.exit(0 if d and d[0].platform == 'tpu' else 3)"
+)
+
+
+def _probe_cmd() -> list:
+    override = os.environ.get("FPCR_BENCH_PROBE_CMD")
+    if override:
+        return shlex.split(override)
+    return [sys.executable, "-c", _PROBE_CODE]
+
+
+def probe_tpu(deadline_s: float) -> bool:
+    """True once a subprocess can enumerate the TPU; False past deadline."""
+    cmd = _probe_cmd()
+    deadline = time.monotonic() + deadline_s
+    attempt = 0
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        attempt += 1
+        quick = min(300.0, remaining)
+        t0 = time.monotonic()
+        try:
+            rc = subprocess.run(cmd, timeout=quick, capture_output=True,
+                                cwd=REPO).returncode
+        except subprocess.TimeoutExpired:
+            # Hang = wedged lease. Killed probes renew the claim, so spend
+            # the entire remaining budget on one patient probe: a live
+            # client waiting in backend init succeeds the moment the lease
+            # clears.
+            remaining = deadline - time.monotonic()
+            if remaining <= 1:
+                return False
+            _log(f"probe attempt {attempt} hung {quick:.0f}s (wedged "
+                 f"tunnel?); one long-patient probe for {remaining:.0f}s")
+            try:
+                rc = subprocess.run(cmd, timeout=remaining,
+                                    capture_output=True, cwd=REPO).returncode
+            except subprocess.TimeoutExpired:
+                return False
+            return rc == 0
+        if rc == 0:
+            if attempt > 1:
+                _log(f"probe attempt {attempt} succeeded")
+            return True
+        elapsed = time.monotonic() - t0
+        sleep_s = min(60.0 * attempt, 300.0, deadline - time.monotonic())
+        if sleep_s <= 0:
+            return False
+        _log(f"probe attempt {attempt} failed fast (rc={rc}, "
+             f"{elapsed:.1f}s) — backend unavailable; retry in "
+             f"{sleep_s:.0f}s")
+        time.sleep(sleep_s)
+
+
+# ---------------------------------------------------------------------------
+# Structured fallback record (VERDICT r3 #1): when the chip is unreachable
+# the bench must still exit 0 with ONE parseable JSON line — citing the last
+# committed TPU numbers by artifact path plus a fresh CPU sanity value —
+# never a raw traceback.
+# ---------------------------------------------------------------------------
+
+def _load_committed() -> dict:
+    """Last committed TPU headline numbers, cited by artifact path."""
+    path = os.path.join(REPO, "bench_results", "tpu_report.json")
+    out = {
+        "point": LAST_COMMITTED["point_ms_per_iter_16384"],
+        "plane": LAST_COMMITTED["plane_ms_per_iter_16384"],
+        "source": LAST_COMMITTED["source"],
+    }
+    try:
+        with open(path) as fh:
+            rep = json.load(fh)
+        out["point"] = float(rep["icp_ladder_16384"]["pallas"])
+        plane = [ms for n, ms in rep.get("sweep_plane", []) if n == 16384]
+        if plane:
+            out["plane"] = float(plane[0])
+        out["source"] = (f"bench_results/tpu_report.json (round "
+                         f"{rep.get('round')}, platform "
+                         f"{rep.get('platform')}): icp_ladder_16384.pallas; "
+                         f"plane from sweep_plane n=16384")
+    except Exception as exc:  # artifact unreadable → constants above
+        _log(f"committed-artifact read failed ({exc}); using constants")
+    return out
+
+
+def _cpu_sanity(timeout_s: float = 900.0) -> dict | None:
+    """Small fresh CPU measurement proving the code path itself is alive.
+
+    Runs this same script with --cpu on a width-32 scene in a subprocess
+    (the main process may already hold a broken TPU backend)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--cpu",
+           "--width", "32", "--lo", "2", "--hi", "10", "--repeats", "2"]
+    try:
+        proc = subprocess.run(cmd, timeout=timeout_s, capture_output=True,
+                              text=True, cwd=REPO)
+        line = proc.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
+        return {"ms_per_iter": rec["value"], "n_points": 1024,
+                "platform": "cpu"}
+    except Exception as exc:
+        _log(f"cpu sanity run failed ({exc})")
+        return None
+
+
+def emit_fallback(args, reason: str, probe_seconds: float,
+                  with_cpu_sanity: bool = True) -> None:
+    committed = _load_committed()
+    sanity = _cpu_sanity() if with_cpu_sanity else None
+    metric_key = "plane" if args.metric == "plane" else "point"
+    baseline = (BASELINE_PLANE_MS_PER_ITER_16384 if args.metric == "plane"
+                else BASELINE_MS_PER_ITER_16384)
+    name = ("icp_point_to_plane" if args.metric == "plane"
+            else "icp_point_to_point")
+    value = committed[metric_key]
+    record = {
+        "metric": f"{name}_ms_per_iter_n{args.width * args.width}",
+        "value": round(value, 4),
+        "unit": "ms",
+        "vs_baseline": round(value / baseline, 4),
+        "platform": "unavailable",
+        "reason": reason,
+        "probe_seconds": round(probe_seconds, 1),
+        "value_source": committed["source"],
+        "committed_point_ms_per_iter": committed["point"],
+        "committed_plane_ms_per_iter": committed["plane"],
+        "cpu_sanity": sanity,
+        "baseline": {"ms_per_iter": baseline, "hardware": "RTX 2060"},
+    }
+    print(json.dumps(record), flush=True)
 
 
 def _timed_run(run, src, tgt, eps, repeats):
@@ -52,7 +229,7 @@ def _timed_run(run, src, tgt, eps, repeats):
     return min(times), res
 
 
-def main() -> None:
+def _parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--width", type=int, default=128, help="grid width (N=width²)")
@@ -69,10 +246,30 @@ def main() -> None:
                              "displacement. 'morton' is the banded fast "
                              "path (near-registered regime only; its "
                              "numbers go in the details record).")
-    args = parser.parse_args()
+    parser.add_argument("--probe-deadline", type=float,
+                        default=float(os.environ.get(
+                            "FPCR_BENCH_PROBE_DEADLINE_S", "1800")),
+                        help="seconds to keep probing for the TPU before "
+                             "emitting the structured fallback record "
+                             "(env FPCR_BENCH_PROBE_DEADLINE_S)")
+    parser.add_argument("--smoke", action="store_true",
+                        help="hardware gate: patient probe -> "
+                             "scripts/tpu_smoke.py -> headline bench -> "
+                             "artifact refresh (scripts/tpu_report.py); "
+                             "exit code reflects smoke+bench status")
+    args = parser.parse_args(argv)
     if args.width < 2 or args.repeats < 1 or args.hi <= args.lo:
         parser.error("need width>=2, repeats>=1, hi>lo")
+    if args.matcher == "morton":
+        parser.error("'morton' is the banded fast path for near-registered "
+                     "clouds; the headline scene's 0.8-unit displacement is "
+                     "outside its regime. Its valid-regime number is always "
+                     "in the details record (morton_fast_path_ms_per_iter_"
+                     "near_registered).")
+    return args
 
+
+def measure(args) -> None:
     import jax
 
     if args.cpu:
@@ -82,12 +279,6 @@ def main() -> None:
 
     import fpcr_tpu as f
 
-    if args.matcher == "morton":
-        parser.error("'morton' is the banded fast path for near-registered "
-                     "clouds; the headline scene's 0.8-unit displacement is "
-                     "outside its regime. Its valid-regime number is always "
-                     "in the details record (morton_fast_path_ms_per_iter_"
-                     "near_registered).")
     if args.matcher is None:
         args.matcher = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
@@ -245,8 +436,61 @@ def main() -> None:
         "value": round(ms_per_iter, 4),
         "unit": "ms",
         "vs_baseline": round(ms_per_iter / baseline, 4),
-    }))
+    }), flush=True)
+
+
+def _run_gate(args) -> int:
+    """Hardware gate (VERDICT r3 #8): smoke -> bench -> artifact refresh.
+
+    Assumes the probe already succeeded. TPU processes are strictly
+    serialized (one client per chip). Exit code: nonzero if the smoke or
+    the bench failed; artifact refresh failure is reported but non-fatal
+    (stale artifacts stay committed and annotated)."""
+    rc_total = 0
+    smoke = subprocess.run([sys.executable,
+                            os.path.join(REPO, "scripts", "tpu_smoke.py")],
+                           cwd=REPO)
+    _log(f"tpu_smoke rc={smoke.returncode}")
+    rc_total |= (smoke.returncode != 0)
+    try:
+        measure(args)
+    except Exception:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        emit_fallback(args, "measurement raised during --smoke gate", 0.0,
+                      with_cpu_sanity=not args.cpu)
+        rc_total |= 2
+    report = subprocess.run([sys.executable,
+                             os.path.join(REPO, "scripts", "tpu_report.py")],
+                            cwd=REPO)
+    _log(f"tpu_report (artifact refresh) rc={report.returncode}"
+         + (" — committed artifacts left stale" if report.returncode else ""))
+    return rc_total
+
+
+def main() -> int:
+    args = _parse_args()
+    t0 = time.monotonic()
+    if not args.cpu:
+        if not probe_tpu(args.probe_deadline):
+            emit_fallback(args,
+                          "TPU backend unreachable after patient probing "
+                          "(wedge-discipline retry exhausted)",
+                          time.monotonic() - t0)
+            # the record IS the successful output: rc 0, parseable JSON
+            return 1 if args.smoke else 0
+    if args.smoke:
+        return _run_gate(args)
+    try:
+        measure(args)
+    except Exception:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        emit_fallback(args, f"measurement raised: {sys.exc_info()[1]!r}",
+                      time.monotonic() - t0,
+                      with_cpu_sanity=not args.cpu)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
