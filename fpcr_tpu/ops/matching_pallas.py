@@ -35,8 +35,9 @@ Design:
   cost.
 
 Measured (v5e, slope method with separate min-of-k legs, N=M=16,384):
-**0.38 ms** standalone (packed6) vs 2.21 ms for the HIGHEST kernel and
+**0.47 ms** standalone (packed6) vs 2.22 ms for the HIGHEST kernel and
 2.30 ms for the reference's best CUDA kernel on an RTX 2060
+(committed round-3 ladder: bench_results/match_ladder_tpu.csv)
 (``Matching_loop_optimized.csv``) — 5.9x faster than both; see
 docs/performance.md for the precision study and the packed-K analysis.
 
@@ -173,9 +174,9 @@ def nn_argmin_pallas(
         triple-split operands are laid out ALONG K as one K=48 bf16
         matmul. f32-grade distances (|err| ~ 1e-6 ulp-level; on 16,384
         reference-scene points 1-2 argmin picks differ from exact, each a
-        near-tie within 1e-6 sqdist) at one-pass cost: measured 0.38 ms vs
-        2.21 ms for ``"highest"`` and 2.30 ms for the reference's best
-        CUDA kernel — 5.9x.
+        near-tie within 1e-6 sqdist) at one-pass cost: measured 0.47 ms vs
+        2.22 ms for ``"highest"`` and 2.30 ms for the reference's best
+        CUDA kernel — 4.7x (bench_results/match_ladder_tpu.csv, round 3).
       * ``"highest"`` — bit-exact HIGHEST-precision dot (the round-1
         kernel; strict first-min tie semantics against f32 distances).
 
