@@ -150,7 +150,9 @@ def _load_committed() -> dict:
         with open(path) as fh:
             rep = json.load(fh)
         out["point"] = float(rep["icp_ladder_16384"]["pallas"])
-        plane = [ms for n, ms in rep.get("sweep_plane", []) if n == 16384]
+        # sweep rows are [n, ms] (r3) or [n, ms, below_noise_floor] (r4+)
+        plane = [row[1] for row in rep.get("sweep_plane", [])
+                 if row and row[0] == 16384]
         if plane:
             out["plane"] = float(plane[0])
         out["source"] = (f"bench_results/tpu_report.json (round "

@@ -24,6 +24,15 @@ from ..utils.timing import benchmark, slope_benchmark
 # Reference sweep bounds (GPU_time_complexity_point.cu:110 — WIDTH 3..128)
 DEFAULT_WIDTHS = tuple(range(3, 129))
 
+# Minimum differential signal (ms) a slope measurement must carry before
+# its value is trusted: through the axon tunnel the min-of-k residual
+# jitter is 1-3 ms, so a (t_hi - t_lo) below ~5 ms is measuring noise, not
+# work. Rows under this floor are still reported (as the conservative
+# total/iters upper bound) but flagged below_noise_floor=1 so committed
+# artifacts can't assert physically-backwards tiny-N orderings
+# (VERDICT r3 #4: plane 'faster' than point at N=9).
+NOISE_FLOOR_SIGNAL_MS = 5.0
+
 
 def time_complexity_sweep(
     metric: str = "point",
@@ -33,9 +42,12 @@ def time_complexity_sweep(
     matcher: str = "xla",
     csv_path: Optional[str] = None,
     slope: bool = False,
-) -> List[Tuple[int, float]]:
+) -> List[Tuple[int, float, int]]:
     """Time ``iterations`` ICP iterations at each width; returns
-    ``[(n_points, ms_per_iter), ...]`` (min over repeats).
+    ``[(n_points, ms_per_iter, below_noise_floor), ...]`` (min over
+    repeats; the flag is 1 when the slope's differential signal is under
+    ``NOISE_FLOOR_SIGNAL_MS`` + measured repeat spread, i.e. the value is
+    an upper bound, not a measurement).
 
     ``slope=True`` times (iterations vs iterations+10) fixed-trip loops and
     reports the difference/10 — the honest per-iteration estimator through
@@ -43,7 +55,7 @@ def time_complexity_sweep(
     (matches the reference's local-dispatch semantics; use on TPU)."""
     import time as _time
 
-    rows: List[Tuple[int, float]] = []
+    rows: List[Tuple[int, float, int]] = []
     for width in widths:
         scene = synthetic_scene(width=width)
 
@@ -61,14 +73,16 @@ def time_complexity_sweep(
             fn = lambda src, c=config: float(  # noqa: E731
                 run_icp(src, scene.target, c).errors[0])
             fn(scene.source)  # warm/compile
-            best = float("inf")
+            best, worst = float("inf"), 0.0
             for r in range(repeats):
                 src = scene.source + _np.float32(1e-6 * (r + 1))
                 t0 = _time.perf_counter()
                 fn(src)
-                best = min(best, _time.perf_counter() - t0)
-            return best
+                dt = _time.perf_counter() - t0
+                best, worst = min(best, dt), max(worst, dt)
+            return best, worst - best
 
+        below_floor = 0
         if slope:
             # the slope window must put delta×ms_per_iter well above the
             # ~ms tunnel/timer noise: at 0.1 ms/iter a 20-iteration window
@@ -76,9 +90,13 @@ def time_complexity_sweep(
             # use the wide window everywhere; 400 extra iterations cost
             # <0.3 s even at the largest sweep size
             delta = 400
-            lo = timed(iterations)
-            hi = timed(iterations + delta)
+            lo, spread_lo = timed(iterations)
+            hi, spread_hi = timed(iterations + delta)
             ms = (hi - lo) * 1e3 / delta
+            floor_ms = max(NOISE_FLOOR_SIGNAL_MS,
+                           2.0 * (spread_lo + spread_hi) * 1e3)
+            if (hi - lo) * 1e3 < floor_ms:
+                below_floor = 1
             if ms <= 1e-4:
                 # sub-noise slope (tiny N): a negative/zero row is a
                 # nonsense artifact (VERDICT r2 weak #1) — report the
@@ -87,10 +105,11 @@ def time_complexity_sweep(
                 # tiny-N cost rather than fabricating a negative one)
                 ms = hi * 1e3 / (iterations + delta)
         else:
-            ms = timed(iterations) * 1e3 / iterations
-        rows.append((width * width, ms))
+            ms = timed(iterations)[0] * 1e3 / iterations
+        rows.append((width * width, ms, below_floor))
     if csv_path:
-        write_rows(csv_path, rows)
+        write_rows(csv_path, rows,
+                   header=("n", "ms", "below_noise_floor"))
     return rows
 
 

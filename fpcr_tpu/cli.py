@@ -255,8 +255,9 @@ def _cmd_sweep(args) -> int:
         csv_path=args.csv,
         slope=args.slope,
     )
-    for n, ms in rows:
-        print(f"{n},{ms:.6f}")
+    for n, ms, below_floor in rows:
+        suffix = ",below_noise_floor" if below_floor else ""
+        print(f"{n},{ms:.6f}{suffix}")
     return 0
 
 

@@ -41,8 +41,9 @@ def main() -> int:
             csv_path=csv, slope=True, repeats=3,
         )
         print(f"[{metric}] -> {csv}")
-        for n, ms in rows:
-            print(f"  {n},{ms:.4f}", flush=True)
+        for n, ms, below_floor in rows:
+            flag = " (below noise floor)" if below_floor else ""
+            print(f"  {n},{ms:.4f}{flag}", flush=True)
     return 0
 
 

@@ -54,9 +54,12 @@ def test_cli_sweep_csv(tmp_path, capsys):
     csv = tmp_path / "sweep.csv"
     rc = cli_main(["sweep", "--widths", "3:5", "--repeats", "1", "--csv", str(csv)])
     assert rc == 0
-    rows = [line.split(",") for line in csv.read_text().strip().splitlines()]
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0] == "n,ms,below_noise_floor"
+    rows = [line.split(",") for line in lines[1:]]
     assert [int(r[0]) for r in rows] == [9, 16, 25]
     assert all(float(r[1]) > 0 for r in rows)
+    assert all(r[2] in ("0", "1") for r in rows)
 
 
 def test_cli_info(capsys):
