@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from typing import NamedTuple, Optional
 
 import jax
@@ -195,6 +196,39 @@ def _match(points, target, target_mask, config: ICPConfig, matcher_state=None):
         exact=config.exact_distances,
     )
     return idx, d, None
+
+
+def resolve_matcher(config: ICPConfig, n_source: int) -> ICPConfig:
+    """Degrade ``matcher='grid'`` to ``'morton'`` above the safe gather
+    budget instead of erroring at trace time.
+
+    The voxel-hash query gathers ``N x 27 x cap`` candidate rows; past
+    ``ops.grid.MAX_CANDIDATE_GATHERS`` that gather pressure is measured to
+    crash the TPU worker (BENCH_NOTES round 1), so ``grid_nn`` refuses to
+    trace it. Rather than surface that ValueError from deep inside a jit,
+    the driver switches to the Morton banded matcher — the production
+    large-N path with the same near-registered validity regime as a
+    well-sized grid — and warns once at trace time. Callers who know their
+    hardware tolerates more can call ``grid_nn`` directly with an explicit
+    ``max_candidate_gathers``.
+    """
+    if config.matcher != "grid":
+        return config
+    from ..ops.grid import MAX_CANDIDATE_GATHERS
+
+    budget = n_source * 27 * config.grid_cap
+    if budget <= MAX_CANDIDATE_GATHERS:
+        return config
+    warnings.warn(
+        f"matcher='grid' candidate-gather budget {budget:,} "
+        f"(N={n_source:,} x 27 x cap={config.grid_cap}) exceeds the safe "
+        f"limit {MAX_CANDIDATE_GATHERS:,} (gather pressure beyond it "
+        "crashes the TPU worker); falling back to matcher='morton', the "
+        "production large-N path. Lower grid_cap or shard the source to "
+        "stay on the grid matcher.",
+        stacklevel=2,
+    )
+    return dataclasses.replace(config, matcher="morton")
 
 
 def build_matcher_state(target, target_mask, config: ICPConfig,
@@ -513,6 +547,10 @@ def _run_icp(
         )
 
     if matcher_state is None:
+        # grid -> morton auto-degrade above the safe gather budget (the
+        # distributed driver resolves this itself, per-shard, before
+        # building the table it passes in)
+        config = resolve_matcher(config, source.shape[0])
         # per-call default; the distributed driver builds this ONCE on the
         # replicated target outside shard_map and passes it in (otherwise
         # every shard would redo the O(M log M) table sort)

@@ -78,6 +78,12 @@ def distributed_icp(
     shards = mesh.devices.size
     n = source.shape[0]
     source_p, source_mask = _pad_shardable(source.astype(jnp.float32), shards)
+    # grid -> morton auto-degrade when the PER-SHARD candidate-gather budget
+    # exceeds the safe limit (models.icp.resolve_matcher); resolved here so
+    # the prebuilt matcher table below matches the matcher actually run.
+    from ..models.icp import resolve_matcher
+
+    config = resolve_matcher(config, source_p.shape[0] // shards)
 
     if (config.metric in ("plane", "symmetric", "gicp")
             and target_normals is None):

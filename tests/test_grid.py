@@ -97,8 +97,9 @@ def test_grid_handles_duplicate_points():
 
 def test_grid_nn_rejects_worker_crashing_sizes():
     """1M-point grid queries crash the TPU worker (BENCH_NOTES round-1 dead
-    end); the candidate-budget guard must turn that into a clear error that
-    points at the morton matcher, BEFORE any device compute is issued."""
+    end); the raw op's candidate-budget guard must turn that into a clear
+    error that points at the morton matcher, BEFORE any device compute is
+    issued."""
     import pytest
 
     table = build_voxel_table(
@@ -107,11 +108,6 @@ def test_grid_nn_rejects_worker_crashing_sizes():
     big = jnp.zeros((1_048_576, 3), jnp.float32)
     with pytest.raises(ValueError, match="morton"):
         grid_nn(big, table, cap=8)
-    # the same guard fires through the ICP config path
-    import fpcr_tpu as f
-    with pytest.raises(ValueError, match="morton"):
-        f.run_icp(big, jnp.zeros((256, 3), jnp.float32),
-                  f.ICPConfig(matcher="grid", max_iterations=1))
     # the override is REAL: a budget below even a tiny cloud's candidate
     # count trips the guard, raising it past the budget lets the same
     # call through (64 * 27 * 8 = 13,824 candidates)
@@ -120,6 +116,50 @@ def test_grid_nn_rejects_worker_crashing_sizes():
     idx, d, found = grid_nn(big[:64], table, cap=8,
                             max_candidate_gathers=20_000)
     assert idx.shape == (64,)
+
+
+def test_icp_grid_matcher_degrades_to_morton_at_scale():
+    """The DRIVER path never surfaces the grid guard: ICPConfig(matcher=
+    'grid') above the safe candidate-gather budget transparently degrades
+    to the morton matcher with a warning (VERDICT r3 #6). Traced at the
+    real 1M size via eval_shape — the degrade decision is a trace-time
+    property, no device compute needed."""
+    import functools
+
+    import jax
+
+    from fpcr_tpu.models.icp import resolve_matcher
+    from fpcr_tpu.ops.grid import MAX_CANDIDATE_GATHERS
+
+    cfg = f.ICPConfig(matcher="grid", max_iterations=1)
+    # direct resolution: over budget -> morton (+warning), under -> unchanged
+    with pytest.warns(UserWarning, match="morton"):
+        assert resolve_matcher(cfg, 1_048_576).matcher == "morton"
+    assert resolve_matcher(cfg, 16_384) is cfg
+    assert 16_384 * 27 * cfg.grid_cap <= MAX_CANDIDATE_GATHERS
+
+    big = jax.ShapeDtypeStruct((1_048_576, 3), jnp.float32)
+    tgt = jax.ShapeDtypeStruct((4096, 3), jnp.float32)
+    with pytest.warns(UserWarning, match="morton"):
+        out = jax.eval_shape(
+            functools.partial(f.run_icp, config=cfg), big, tgt)
+    assert out.points.shape == (1_048_576, 3)
+
+
+def test_icp_grid_fallback_still_registers(monkeypatch, clouds):
+    """With the budget forced tiny, the grid config runs the morton path
+    end-to-end and still recovers the transform."""
+    from fpcr_tpu.ops import grid as grid_mod
+
+    monkeypatch.setattr(grid_mod, "MAX_CANDIDATE_GATHERS", 1_000)
+    _, q = clouds
+    src = jnp.asarray(q[:3100])  # distinct shape: avoid stale jit cache
+    gt = f.gt_transform((0.004, -0.003, 0.002), (0.003, -0.002, 0.004))
+    tgt = gt.apply(src)
+    cfg = f.ICPConfig(matcher="grid", max_iterations=30, grid_cap=16)
+    with pytest.warns(UserWarning, match="morton"):
+        res = f.run_icp(src, tgt, cfg)
+    assert float(f.transform_rmse(res.transform, gt, src)) < 1e-4
 
 
 def test_voxel_downsample_matches_dict_oracle():
