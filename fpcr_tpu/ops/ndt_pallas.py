@@ -16,12 +16,16 @@ of the direct7 field is three MXU matmuls per band chunk:
   single-valued surface), and x±1 is ~one x-plane of rows (≈ the cloud
   width in voxels). A ``window`` of 256 rows each side therefore spans
   the whole neighborhood — no per-offset bands, no 7 probes;
-* **neighborhood mask as an exact integer-distance matmul**: with the
-  augmented cell vectors packed in the K-packed bf16x6 layout
-  (morton_pallas ``_pack6`` — every nonzero split-product pair of
-  integers < 2¹⁰ is kept, so the one bf16 MXU pass is EXACT),
-  ``d(b,q) = |c_b − c_q|²`` and ``d ≤ 1`` *is* the direct7 predicate —
-  own voxel (d=0) plus the 6 faces (d=1) in one compare;
+* **neighborhood mask on the VPU** (``mask='vpu'``, default): for
+  integer cells the direct7 predicate ``|c_b − c_q|² ≤ 1`` equals
+  ``Σ|Δc_axis| ≤ 1``, computed from per-axis cell coordinates riding
+  three free lanes of the feature band — every |Δ| is integer-exact in
+  f32. This removes the round-3 mask matmul (a [band, chunk] MXU pass,
+  ~25% of the kernel's MXU tile-ops at window 384), its [96, m_pad]
+  bf16 ``cellpk`` operand (~200 MB at 1M points) and its second band
+  DMA stream, for ~8 VPU passes that overlap the remaining matmuls.
+  ``mask='matmul'`` keeps the exact pack6 integer-distance matmul
+  (``d(b,q) = |c_b − c_q|²`` in one bf16 MXU pass) for A/B timing;
 * **Mahalanobis distances as one bilinear matmul**: ``q(b,q) =
   (x_q − μ_b)ᵀ S_b (x_q − μ_b)`` expands over band features
   ``[S(6), Sμ′(3), μ′ᵀSμ′]`` × query monomials ``[x′x′(6), −2x′(3), 1]``,
@@ -107,14 +111,6 @@ def _trunc_hi(x: jnp.ndarray) -> jnp.ndarray:
                                     jnp.float32)
 
 
-def _split2_trunc(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(h, m) truncation split: h + m ≈ x with h, m exact bf16 parts and a
-    dropped residual ≤ 2⁻¹⁵·|x|."""
-    h = _trunc_hi(x)
-    r = x - h
-    return h, _trunc_hi(r)
-
-
 def _split3_trunc(
         x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(h, m, l) truncation split: h + m + l ≈ x, all exact bf16 parts,
@@ -127,16 +123,26 @@ def _split3_trunc(
 
 
 class FusedNDTTables(NamedTuple):
-    """Per-grid kernel operands (build once, reuse every iteration)."""
+    """Per-grid kernel operands (build once, reuse every iteration).
 
-    cellpk: jnp.ndarray   # [96, m_pad] bf16 — pack6 of augmented cells
-    tab: jnp.ndarray      # [16, m_pad] f32 — [mu−lo(3), S(6), valid, 0…]
+    ``cellpk`` is only built for ``mask='matmul'`` — the default VPU
+    neighborhood predicate reads the per-axis cell lanes carried in
+    ``tab`` rows 10:13 instead (no second table, no second band DMA)."""
+
+    cellpk: Optional[jnp.ndarray]  # [96, m_pad] bf16 — pack6 of aug. cells
+    tab: jnp.ndarray      # [16, m_pad] f32 — [mu−lo(3), S(6), valid,
+    #                        cx, cy, cz (1e9 on pad rows), 0…]
 
 
-def prepare_fused_tables(grid: NDTGrid) -> FusedNDTTables:
-    """Kernel-side tables: augmented-cell pack for the neighborhood mask
-    matmul and the transposed feature table (means re-anchored to the grid
-    origin so the in-kernel chunk anchoring stays in small coordinates)."""
+def prepare_fused_tables(grid: NDTGrid,
+                         mask: str = "vpu") -> FusedNDTTables:
+    """Kernel-side tables: the transposed feature table (means re-anchored
+    to the grid origin so the in-kernel chunk anchoring stays in small
+    coordinates; per-axis cell coordinates in lanes 10:13 for the VPU
+    neighborhood predicate) and, for ``mask='matmul'`` only, the
+    augmented-cell pack the mask-matmul variant contracts against."""
+    if mask not in ("vpu", "matmul"):
+        raise ValueError(f"unknown mask {mask!r}")
     m = grid.keys.shape[0]
     m_pad = round_up(m, _ALIGN)
     key = (grid.table[:, 10].astype(jnp.int32) << 15) | \
@@ -145,38 +151,51 @@ def prepare_fused_tables(grid: NDTGrid) -> FusedNDTTables:
     cy = (key >> _AXIS_BITS) & ((1 << _AXIS_BITS) - 1)
     cz = key & ((1 << _AXIS_BITS) - 1)
     c = jnp.stack([cx, cy, cz], axis=0).astype(jnp.float32)  # [3, m]
-    csq = jnp.sum(c * c, axis=0)
     # pad-sentinel rows must never be neighbors of any real query
     real = grid.keys != jnp.int32(_KEY_PAD)
-    csq = jnp.where(real, csq, 1e9)
 
-    cbT = jnp.zeros((_SUBLANES, m_pad), jnp.float32)
-    cbT = cbT.at[:3, :m].set(c)
-    cbT = cbT.at[3, :m].set(csq)
-    cbT = cbT.at[3, m:].set(1e9)
-    cbT = cbT.at[4, :].set(1.0)
-    cellpk = _pack6(cbT, 1)  # [96, m_pad] bf16, side 1 = table side
+    cellpk = None
+    if mask == "matmul":
+        csq = jnp.sum(c * c, axis=0)
+        csq = jnp.where(real, csq, 1e9)
+        cbT = jnp.zeros((_SUBLANES, m_pad), jnp.float32)
+        cbT = cbT.at[:3, :m].set(c)
+        cbT = cbT.at[3, :m].set(csq)
+        cbT = cbT.at[3, m:].set(1e9)
+        cbT = cbT.at[4, :].set(1.0)
+        cellpk = _pack6(cbT, 1)  # [96, m_pad] bf16, side 1 = table side
 
     tabT = jnp.zeros((_TAB_LANES, m_pad), jnp.float32)
     mu_rel = (grid.table[:, 0:3] - grid.lo[None, :]).T  # [3, m]
     tabT = tabT.at[0:3, :m].set(jnp.where(real[None, :], mu_rel, 0.0))
     tabT = tabT.at[3:9, :m].set(grid.table[:, 3:9].T)
     tabT = tabT.at[9, :m].set(grid.table[:, 9])
+    # per-axis cells for the VPU predicate: 1e9 on pad-sentinel AND
+    # padding rows so they sit far from every real query cell (queries
+    # are clamped to ±2²⁰, so every |Δ| here is integer-exact in f32)
+    tabT = tabT.at[10:13, :].set(1e9)
+    tabT = tabT.at[10:13, :m].set(jnp.where(real[None, :], c, 1e9))
     return FusedNDTTables(cellpk=cellpk, tab=tabT)
 
 
 def _fused_kernel_factory(chunk: int, band: int, unroll: int,
                           voxel_size: float, d1d2: float, d2: float,
-                          direct7: bool):
-    def kernel(bases_ref, pk_ref, cqcell_ref, cqmono_ref,
-               cell_hbm, tab_hbm, out_ref, cbuf, tbuf, csem, tsem):
+                          direct7: bool, vpu_mask: bool):
+    def kernel(*refs):
+        if vpu_mask:
+            (bases_ref, pk_ref, cqcell_ref, cqmono_ref,
+             tab_hbm, out_ref, tbuf, tsem) = refs
+        else:
+            (bases_ref, pk_ref, cqcell_ref, cqmono_ref,
+             cell_hbm, tab_hbm, out_ref, cbuf, tbuf, csem, tsem) = refs
         g = pl.program_id(0)
 
-        def c_dma(slot, j):
-            base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
-            return pltpu.make_async_copy(
-                cell_hbm.at[:, pl.ds(base, band)], cbuf.at[slot],
-                csem.at[slot])
+        if not vpu_mask:
+            def c_dma(slot, j):
+                base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
+                return pltpu.make_async_copy(
+                    cell_hbm.at[:, pl.ds(base, band)], cbuf.at[slot],
+                    csem.at[slot])
 
         def t_dma(slot, j):
             base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
@@ -184,24 +203,30 @@ def _fused_kernel_factory(chunk: int, band: int, unroll: int,
                 tab_hbm.at[:, pl.ds(base, band)], tbuf.at[slot],
                 tsem.at[slot])
 
-        c_dma(0, 0).start()
+        if not vpu_mask:
+            c_dma(0, 0).start()
         t_dma(0, 0).start()
 
         for j in range(unroll):  # static unroll — straight-line code
             slot = j % 2
             if j + 1 < unroll:
-                c_dma((j + 1) % 2, j + 1).start()
+                if not vpu_mask:
+                    c_dma((j + 1) % 2, j + 1).start()
                 t_dma((j + 1) % 2, j + 1).start()
-            c_dma(slot, j).wait()
+            if not vpu_mask:
+                c_dma(slot, j).wait()
             t_dma(slot, j).wait()
 
             cols = pl.ds(j * chunk, chunk)
-            # ---- neighborhood mask: exact |c_b − c_q|² on the MXU
-            dc = lax.dot_general(
-                cbuf[slot], cqcell_ref[:, cols],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [band, chunk] — exact integers (pack6 of 10-bit cells)
+            if vpu_mask:
+                dc = None  # predicate computed below from tab lanes 10:13
+            else:
+                # ---- neighborhood mask: exact |c_b − c_q|² on the MXU
+                dc = lax.dot_general(
+                    cbuf[slot], cqcell_ref[:, cols],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [band, chunk] — exact integers (pack6 of 10-bit cells)
 
             # ---- chunk-anchored band features (VPU, [band] rows).
             # Anchor cell unpacked from the packed probe key IN-KERNEL:
@@ -243,23 +268,51 @@ def _fused_kernel_factory(chunk: int, band: int, unroll: int,
                 preferred_element_type=jnp.float32,
             )  # [band, chunk]
 
-            # direct7 predicate: d ∈ {0, 1}; direct1: d = 0
-            near = dc < (1.5 if direct7 else 0.5)
+            if vpu_mask:
+                # ---- direct7 predicate on the VPU: for integer cells
+                # Σ|Δc| ≤ 1 ⟺ |Δc|² ≤ 1 (at most one axis off by one).
+                # Per-axis cells ride free lanes of the feature band
+                # (pad rows carry 1e9 → never near; clamped out-of-range
+                # queries stay integer-exact in f32 at ±2²⁰). Trades the
+                # mask matmul's [band, chunk] MXU pass + the cellpk DMA
+                # for ~8 VPU passes — measured A/B on hardware
+                # (BENCH_NOTES §NDT round 4).
+                qc = cqcell_ref[:, cols]  # [8, chunk] f32 raw query cells
+                l1 = (jnp.abs(tab[10][:, None] - qc[0][None, :])
+                      + jnp.abs(tab[11][:, None] - qc[1][None, :])
+                      + jnp.abs(tab[12][:, None] - qc[2][None, :]))
+                near = l1 < (1.5 if direct7 else 0.5)
+            else:
+                # direct7 predicate: d ∈ {0, 1}; direct1: d = 0
+                near = dc < (1.5 if direct7 else 0.5)
             maskf = jnp.where(near, valid[:, None],
                               jnp.zeros_like(qm))  # [band, chunk]
-            w = (d1d2 * jnp.exp(jnp.clip(-0.5 * d2 * qm, -60.0, 0.0))
-                 * maskf)
-            wh, wm = _split2_trunc(w)
+            # d1d2 folded into the exponent (one VPU pass saved); no
+            # lower clamp — underflow to w=0 IS the right limit (the
+            # gather path's −60 floor leaves w ~ 1e−26, far below any
+            # parity tolerance)
+            if d1d2 > 0.0:
+                w = jnp.exp(jnp.minimum(-0.5 * d2 * qm, 0.0)
+                            + math.log(d1d2)) * maskf
+            else:  # degenerate mixture constants: every weight is zero
+                w = jnp.zeros_like(qm)
+            # h via exact bf16 truncation; the residual's ROUNDING cast
+            # is fine for m (any bf16 value is exact as an MXU input; the
+            # dropped tail is ≤2⁻¹⁷·w) and saves the second 3-op
+            # truncation of _split2_trunc
+            wh32 = _trunc_hi(w)
+            whb = wh32.astype(jnp.bfloat16)
+            wmb = (w - wh32).astype(jnp.bfloat16)
 
             # ---- weighted moment extraction: Σ_b w·[S, Sμ'] per query.
             # w split h+m keeps every bf16 product exact; the feature pack
             # is reused — groups (h)+(m)+(l) reconstruct f to ~2⁻²³.
             ex = (lax.dot_general(
-                      pack, wh.astype(jnp.bfloat16),
+                      pack, whb,
                       dimension_numbers=(((1,), (0,)), ((), ())),
                       preferred_element_type=jnp.float32)
                   + lax.dot_general(
-                      pack, wm.astype(jnp.bfloat16),
+                      pack, wmb,
                       dimension_numbers=(((1,), (0,)), ((), ())),
                       preferred_element_type=jnp.float32))  # [96, chunk]
             # f = groups 0 (h) + 1 (m) + 4 (l) under _BPARTS
@@ -281,7 +334,7 @@ def _fused_kernel_factory(chunk: int, band: int, unroll: int,
 @functools.partial(
     jax.jit,
     static_argnames=("voxel_size", "d1", "d2", "neighborhood", "chunk",
-                     "window", "unroll", "interpret"))
+                     "window", "unroll", "interpret", "mask"))
 def ndt_fused_moments(
     points: jnp.ndarray,
     grid: NDTGrid,
@@ -296,6 +349,7 @@ def ndt_fused_moments(
     unroll: int = 8,
     interpret: Optional[bool] = None,
     source_mask: Optional[jnp.ndarray] = None,
+    mask: str = "vpu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-query direct7 GN moments in one kernel pass.
 
@@ -307,6 +361,11 @@ def ndt_fused_moments(
     """
     if neighborhood not in ("direct1", "direct7"):
         raise ValueError(f"unknown neighborhood {neighborhood!r}")
+    if mask not in ("vpu", "matmul"):
+        raise ValueError(f"unknown mask {mask!r}")
+    if mask == "matmul" and tables.cellpk is None:
+        raise ValueError("mask='matmul' needs tables built with "
+                         "prepare_fused_tables(grid, mask='matmul')")
     n = points.shape[0]
     x = points.astype(jnp.float32)
     hs = float(voxel_size)
@@ -333,14 +392,20 @@ def ndt_fused_moments(
     u = fit_unroll(num_chunks, unroll)
     num_groups = num_chunks // u
 
-    # ---- query cell pack (mask matmul side 0): [-2c, 1, |c|²]
-    csq = jnp.sum(cf * cf, axis=1)
-    cqT = jnp.zeros((_SUBLANES, n_pad), jnp.float32)
-    cqT = cqT.at[4, :].set(1e9)  # padding columns never match
-    cqT = cqT.at[:3, :n].set(-2.0 * cf.T)
-    cqT = cqT.at[3, :n].set(jnp.where(ok, 1.0, 0.0))
-    cqT = cqT.at[4, :n].set(jnp.where(ok, csq, 1e9))
-    cqcell = _pack6(cqT, 0)  # [96, n_pad] bf16
+    if mask == "matmul":
+        # ---- query cell pack (mask matmul side 0): [-2c, 1, |c|²]
+        csq = jnp.sum(cf * cf, axis=1)
+        cqT = jnp.zeros((_SUBLANES, n_pad), jnp.float32)
+        cqT = cqT.at[4, :].set(1e9)  # padding columns never match
+        cqT = cqT.at[:3, :n].set(-2.0 * cf.T)
+        cqT = cqT.at[3, :n].set(jnp.where(ok, 1.0, 0.0))
+        cqT = cqT.at[4, :n].set(jnp.where(ok, csq, 1e9))
+        cqcell = _pack6(cqT, 0)  # [96, n_pad] bf16
+    else:
+        # ---- raw per-axis query cells for the VPU predicate (padding
+        # columns at 1e9 sit far from every band cell → structural miss)
+        cqcell = jnp.full((_SUBLANES, n_pad), 1e9, jnp.float32)
+        cqcell = cqcell.at[:3, :n].set(cf.T)
 
     # ---- per-chunk probe rank + anchor cell (clipped key, matching the
     # cell_key_order coherence sort)
@@ -353,11 +418,15 @@ def ndt_fused_moments(
 
     band = round_up(chunk + 2 * window + _ALIGN, _ALIGN)
     cellpk, tabT = tables.cellpk, tables.tab
-    m_pad = cellpk.shape[1]  # static — from the operand shape, not data
+    m_pad = tabT.shape[1]  # static — from the operand shape, not data
     if m_pad < band:  # tiny grids: widen so one band fits
         pad = band - m_pad
-        cellpk = jnp.pad(cellpk, ((0, 0), (0, pad)))
+        if cellpk is not None:
+            cellpk = jnp.pad(cellpk, ((0, 0), (0, pad)))
+        # padding must keep the cell lanes (10:13) at the far sentinel —
+        # zero-padded cells would alias voxel (0,0,0) as a fake neighbor
         tabT = jnp.pad(tabT, ((0, 0), (0, pad)))
+        tabT = tabT.at[10:13, m_pad:].set(1e9)
         m_pad = band
     bases = (jnp.clip(ranks - band // 2, 0, m_pad - band)
              & ~jnp.int32(_ALIGN - 1))
@@ -394,29 +463,36 @@ def ndt_fused_moments(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
+    vpu_mask = mask == "vpu"
     kernel = _fused_kernel_factory(chunk, band, u, hs, d1d2, float(d2),
-                                   neighborhood == "direct7")
+                                   neighborhood == "direct7", vpu_mask)
+    in_specs = [
+        pl.BlockSpec((cqcell.shape[0], u * chunk), lambda g, *_: (0, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_PACKED2, u * chunk), lambda g, *_: (0, g),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((2, _TAB_LANES, band), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    operands = [cqcell, cqmono]
+    if not vpu_mask:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # cell pack, HBM
+        scratch.insert(0, pltpu.VMEM((2, 96, band), jnp.bfloat16))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        operands.append(cellpk)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # feature tab, HBM
+    operands.append(tabT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_groups,),
-        in_specs=[
-            pl.BlockSpec((96, u * chunk), lambda g, *_: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_PACKED2, u * chunk), lambda g, *_: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # cell pack stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # feature table stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((u, _TAB_LANES, chunk), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 96, band), jnp.bfloat16),
-            pltpu.VMEM((2, _TAB_LANES, band), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     # Explicit VMEM budget. Two measured facts drive it (BENCH_NOTES
     # "VMEM pitfall"): (a) XLA promotes the [num_chunks, 16, chunk]
@@ -432,8 +508,9 @@ def ndt_fused_moments(
     # When the escalated window pushes internals past the output size,
     # promotion can't be blocked — fund both instead (correct, slower).
     out_bytes = num_chunks * _TAB_LANES * chunk * 4
+    cbuf_bytes = 0 if vpu_mask else 2 * 96 * band * 2
     vmem_budget = max(
-        2 * (96 * band * 2 + _TAB_LANES * band * 4)
+        cbuf_bytes + 2 * _TAB_LANES * band * 4
         + (5 * band * chunk * 4) // 2
         + 4 * (96 * u * chunk * 2) + 2 * u * _TAB_LANES * chunk * 4
         + 2 * 1024 * 1024,
@@ -447,7 +524,7 @@ def ndt_fused_moments(
                                         jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
         interpret=interpret,
-    )(bases, pk, cqcell, cqmono, cellpk, tabT)
+    )(bases, pk, *operands)
 
     rows = rows.transpose(0, 2, 1).reshape(n_pad, _TAB_LANES)[:n]
     return rows, xp_pad[:n]

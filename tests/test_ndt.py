@@ -352,6 +352,42 @@ def test_fused_moments_match_gather_path():
                                atol=1e-3 * max(qsum.max(), 1.0))
 
 
+def test_fused_mask_modes_bit_identical():
+    """mask='vpu' (per-axis Σ|Δc| ≤ 1 on the VPU, round-4 default) and
+    mask='matmul' (pack6 integer-distance MXU pass) are both EXACT
+    integer predicates, so the kernels must produce bit-identical rows —
+    including out-of-grid queries (clamped cells face-matching boundary
+    voxels) and masked-out rows (structural misses)."""
+    from fpcr_tpu.ops.ndt import cell_key_order, gauss_d1_d2
+    from fpcr_tpu.ops.ndt_pallas import (ndt_fused_moments,
+                                         prepare_fused_tables)
+
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(0, 2.0, (4096, 3)).astype(np.float32)
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    src_np = pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)
+    src_np[:64] -= 3.0   # out of the grid entirely (structural misses)
+    src_np[64:128, 0] = -0.1  # one cell below the min face: boundary match
+    src = jnp.asarray(src_np)
+    src = jnp.take(src, cell_key_order(src, grid), axis=0)
+    smask = jnp.arange(src.shape[0]) != 100  # one masked-out row
+    d1f, d2f = gauss_d1_d2(0.55, 0.25)
+    d1f = abs(d1f)
+
+    outs = {}
+    for mode in ("vpu", "matmul"):
+        tables = prepare_fused_tables(grid, mask=mode)
+        assert (tables.cellpk is None) == (mode == "vpu")
+        rows, xp = ndt_fused_moments(
+            src, grid, tables, voxel_size=0.25, d1=d1f, d2=d2f,
+            chunk=256, window=256, source_mask=smask, mask=mode)
+        outs[mode] = (np.asarray(rows), np.asarray(xp))
+    np.testing.assert_array_equal(outs["vpu"][0], outs["matmul"][0])
+    np.testing.assert_array_equal(outs["vpu"][1], outs["matmul"][1])
+    # the scene exercises real hits (not vacuous agreement)
+    assert outs["vpu"][0][:, 10].max() >= 5
+
+
 def test_run_ndt_fused_registers():
     """Full NDT loop on the fused Pallas moments (interpret mode)."""
     scene = f.synthetic_scene(width=48)
