@@ -1,0 +1,174 @@
+"""Round-4 reduction study for the packed6 brute matcher.
+
+docs/performance.md roofline: after the packed-K win the matcher's MXU
+term is ~131 us at N=M=16,384 but the kernel measures ~475 us — the
+[bn, bm] min+argmin stream through the VPU is now the critical path
+(the round-2 study that found "MXU-bound, not reduction-bound" was
+measured against the 6x-slower HIGHEST kernel). This script decomposes
+the cost with ablated kernels, all on the same packed6 K=48 operands
+and block shape as the library kernel:
+
+  full     library nn_argmin_pallas (matmul + argmin + min + update)
+  mmonly   matmul only, store one distance column (floor: MXU + DMA)
+  minonly  matmul + min (no argmin, no index update)
+  hier     matmul + min, then argmin as (d == min) masked-iota min —
+           exact, trades jnp.argmin's combined reduce for 3 cheap passes
+  blocks   full kernel at alternative (block_n, block_m) tilings
+
+Slope-timed standalone (separate lo/hi jits, perturbed inputs). TPU only.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+
+from fpcr_tpu.core.cloud import round_up  # noqa: E402
+from fpcr_tpu.ops.matching_pallas import (  # noqa: E402
+    _LANES, _augment, _split3, nn_argmin_pallas)
+
+
+def _kern(variant, p_ref, qT_ref, best_d_ref, best_i_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_d_ref[:] = jnp.full_like(best_d_ref, jnp.inf)
+        best_i_ref[:] = jnp.zeros_like(best_i_ref)
+
+    d = jax.lax.dot_general(
+        p_ref[:], qT_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    if variant == "mmonly":
+        best_d_ref[:] = d[:, :1]
+        return
+    local_min = jnp.min(d, axis=1)[:, None]
+    if variant == "minonly":
+        best_d_ref[:] = jnp.minimum(best_d_ref[:], local_min)
+        return
+    if variant == "hier":
+        big = jnp.int32(1 << 30)
+        masked = jnp.where(d <= local_min,
+                           jax.lax.broadcasted_iota(jnp.int32, d.shape, 1),
+                           big)
+        local_arg = jnp.min(masked, axis=1)[:, None]
+    else:  # fullx: same as the library kernel, re-inlined
+        local_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None]
+    bm = qT_ref.shape[1]
+    better = local_min < best_d_ref[:]
+    best_d_ref[:] = jnp.where(better, local_min, best_d_ref[:])
+    best_i_ref[:] = jnp.where(better, j * bm + local_arg, best_i_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "bn", "bm"))
+def run_variant(p, q, variant="fullx", bn=512, bm=8192):
+    n, m = p.shape[0], q.shape[0]
+    n_pad, m_pad = round_up(n, bn), round_up(m, bm)
+    p_hat, qT = _augment(p, q, None, n_pad, m_pad)
+    ph, pm_, plo = _split3(p_hat)
+    qh, qm, qlo = _split3(qT)
+    pairs = [(ph, qh), (ph, qm), (pm_, qh), (ph, qlo), (plo, qh),
+             (pm_, qm)]
+    p_in = jnp.concatenate([a for a, _ in pairs], axis=1)
+    q_in = jnp.concatenate([b for _, b in pairs], axis=0)
+    kk = _LANES * len(pairs)
+    grid = (n_pad // bn, m_pad // bm)
+    best_d, best_i = pl.pallas_call(
+        functools.partial(_kern, variant),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, kk), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kk, bm), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(p_in, q_in)
+    return best_i[:n, 0], best_d[:n, 0]
+
+
+def slope_time(fn, src, lo=16, hi=64, repeats=3):
+    eps = np.float32(1e-7)
+
+    def make(iters):
+        @jax.jit
+        def go(p):
+            def step(x, _):
+                i, d = fn(x)
+                return x + 0.0 * d[0], d[0]
+            _, outs = jax.lax.scan(step, p, None, length=iters)
+            return outs[-1]
+        float(go(src))
+        return go
+
+    f_lo, f_hi = make(lo), make(hi)
+
+    def timed(g):
+        ts = []
+        for k in range(repeats):
+            s = src + eps * (k + 1)
+            float(s[0, 0])
+            t0 = time.perf_counter()
+            float(g(s))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (timed(f_hi) - timed(f_lo)) * 1e3 / (hi - lo)
+
+
+def main():
+    n = 16384
+    rng = np.random.default_rng(0)
+    w = int(np.ceil(np.sqrt(n)))
+    ax = np.linspace(-1, 1, w, dtype=np.float32)
+    xs, ys = np.meshgrid(ax, ax, indexing="ij")
+    pts = np.stack([xs.ravel(), ys.ravel(), (xs * xs - ys * ys).ravel()], 1)
+    src = jnp.asarray(pts[:n])
+    tgt = src + 0.01
+
+    # correctness gate vs the library kernel before timing anything
+    i_lib, d_lib = nn_argmin_pallas(src, tgt)
+    for v in ("fullx", "hier"):
+        i_v, d_v = run_variant(src, tgt, variant=v)
+        same = float(jnp.mean((i_v == i_lib).astype(jnp.float32)))
+        assert same > 0.999, (v, same)
+
+    results = {}
+    results["full_lib"] = slope_time(lambda x: nn_argmin_pallas(x, tgt), src)
+    for v in ("mmonly", "minonly", "hier", "fullx"):
+        results[v] = slope_time(
+            lambda x, v=v: run_variant(x, tgt, variant=v), src)
+    for bn, bm in ((512, 2048), (512, 4096), (1024, 8192), (256, 8192),
+                   (512, 16384)):
+        results[f"full_{bn}x{bm}"] = slope_time(
+            lambda x, bn=bn, bm=bm: run_variant(x, tgt, bn=bn, bm=bm), src)
+    print(json.dumps({k: round(v, 4) for k, v in results.items()},
+                     indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
