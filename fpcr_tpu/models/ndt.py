@@ -167,10 +167,11 @@ def _resolve_fused(config: NDTConfig, grid,
     probe rank), so a query's ±x face neighbor — ~one x-plane of table
     rows away — must sit within the band or it silently reads as a miss
     (ops/ndt_pallas.py "banded miss semantics"). Both quantities are
-    computable from the concrete tables: the x±1 rank distance is
-    bounded by the row count of the two adjacent x-planes (``D``), and
-    the per-chunk query rank spread ``S`` from the initial source's
-    sorted keys. One-sided band reach is chunk/2 + window, the worst
+    computable from the concrete tables: the neighbor rank distance
+    ``D`` exactly, as max |insrank(cell(v) − o) − rank(v)| over present
+    voxels and face offsets (universal over query cells — see the inline
+    derivation), and the per-chunk query rank spread ``S`` from the
+    initial source's sorted keys. One-sided band reach is chunk/2 + window, the worst
     query sits ``S`` below the probe, so coverage needs
     ``window >= D + S_slack − chunk/2`` (``S_slack = 2·S + 128`` —
     iterations move points by at most a few voxels). Policy: escalate
@@ -212,10 +213,31 @@ def _resolve_fused(config: NDTConfig, grid,
 
     keys = np.asarray(grid.keys)
     keys = keys[keys != _KEY_PAD]
-    cx = (keys >> (2 * _AXIS_BITS)) & ((1 << _AXIS_BITS) - 1)
-    counts = np.bincount(cx, minlength=2)
-    adj = counts[:-1] + counts[1:]
-    d_max = int(adj.max()) if adj.size else 0
+    # Exact coverage requirement (round 4; was the adjacent-x-plane row-
+    # count bound, ~2× looser on the bench scenes → one band K-tile tier
+    # wasted): for EVERY possible query cell k with a present face
+    # neighbor v = k + o, the band centered near insrank(k) must reach
+    # rank(v). Enumerating k as cell(v) − o over the present voxels v
+    # covers all such queries — including absent-cell queries and any
+    # iteration drift (a drifted query is just another cell k) — so
+    # d_max = max |insrank(cell(v) − o) − rank(v)| is both exact and
+    # universal. Six vectorized searchsorteds over the ≤K voxel keys.
+    d_max = 0
+    if keys.size:
+        ranks = np.arange(keys.size)
+        hi = (1 << _AXIS_BITS) - 1
+        cxyz = np.stack([(keys >> (2 * _AXIS_BITS)) & hi,
+                         (keys >> _AXIS_BITS) & hi, keys & hi], axis=1)
+        for off in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                    (0, 0, 1), (0, 0, -1)):
+            q = cxyz - np.asarray(off)
+            ok = ((q >= 0) & (q <= hi)).all(axis=1)
+            if not ok.any():
+                continue
+            qk = ((q[ok, 0] << (2 * _AXIS_BITS))
+                  | (q[ok, 1] << _AXIS_BITS) | q[ok, 2])
+            ins = np.searchsorted(keys, qk)
+            d_max = max(d_max, int(np.abs(ins - ranks[ok]).max()))
     spread = 0
     if source is not None and source.shape[0] > 0:
         c = np.asarray(_cells_raw(source.astype(jnp.float32), grid.lo,
