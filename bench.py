@@ -20,12 +20,19 @@ Measurement notes (this environment):
     (Matching_opt.cu:213-226);
   * the tunnel can be DOWN (fast UNAVAILABLE) or WEDGED (backend init
     hangs for many minutes while a killed client's lease expires). This
-    script is wedge-proof: it probes in subprocesses with patient
-    retry/backoff (default 30 min, --probe-deadline /
-    FPCR_BENCH_PROBE_DEADLINE_S) and on persistent unavailability exits 0
-    with a structured fallback record ("platform": "unavailable") citing
-    the last committed TPU artifacts plus a fresh CPU sanity value —
-    never a raw traceback (VERDICT r3 #1).
+    script is wedge-proof AND kill-proof: main() prints a provisional
+    fallback record ("platform": "pending-probe", committed-artifact
+    values) as its FIRST action, so an external SIGKILL at ANY moment
+    still leaves a parseable last stdout line (VERDICT r4 #1 — drivers
+    read the last parseable line; later prints supersede earlier ones).
+    It then probes in subprocesses with patient retry/backoff (default
+    10 min, --probe-deadline / FPCR_BENCH_PROBE_DEADLINE_S) and on
+    persistent unavailability prints the structured fallback record
+    ("platform": "unavailable") IMMEDIATELY, then enriches it with a
+    fresh CPU sanity value in a final line. Worst-case wall time is
+    ~15 min, under any sane driver budget. A probe success followed by
+    a measurement exception reports "platform": "error" instead, so
+    'tunnel down' and 'bench broken' are distinguishable (ADVICE r4).
 
 --smoke runs the full hardware gate instead: probe -> scripts/tpu_smoke.py
 -> headline bench -> artifact refresh (VERDICT r3 #8).
@@ -164,7 +171,7 @@ def _load_committed() -> dict:
     return out
 
 
-def _cpu_sanity(timeout_s: float = 900.0) -> dict | None:
+def _cpu_sanity(timeout_s: float = 240.0) -> dict | None:
     """Small fresh CPU measurement proving the code path itself is alive.
 
     Runs this same script with --cpu on a width-32 scene in a subprocess
@@ -183,31 +190,45 @@ def _cpu_sanity(timeout_s: float = 900.0) -> dict | None:
         return None
 
 
-def emit_fallback(args, reason: str, probe_seconds: float,
-                  with_cpu_sanity: bool = True) -> None:
+def _fallback_record(args, platform: str, reason: str,
+                     probe_seconds: float) -> dict:
     committed = _load_committed()
-    sanity = _cpu_sanity() if with_cpu_sanity else None
     metric_key = "plane" if args.metric == "plane" else "point"
     baseline = (BASELINE_PLANE_MS_PER_ITER_16384 if args.metric == "plane"
                 else BASELINE_MS_PER_ITER_16384)
     name = ("icp_point_to_plane" if args.metric == "plane"
             else "icp_point_to_point")
     value = committed[metric_key]
-    record = {
+    return {
         "metric": f"{name}_ms_per_iter_n{args.width * args.width}",
         "value": round(value, 4),
         "unit": "ms",
         "vs_baseline": round(value / baseline, 4),
-        "platform": "unavailable",
+        "platform": platform,
         "reason": reason,
         "probe_seconds": round(probe_seconds, 1),
         "value_source": committed["source"],
         "committed_point_ms_per_iter": committed["point"],
         "committed_plane_ms_per_iter": committed["plane"],
-        "cpu_sanity": sanity,
+        "cpu_sanity": None,
         "baseline": {"ms_per_iter": baseline, "hardware": "RTX 2060"},
     }
+
+
+def emit_fallback(args, reason: str, probe_seconds: float,
+                  with_cpu_sanity: bool = True,
+                  platform: str = "unavailable") -> None:
+    """Print the fallback record IMMEDIATELY, then (optionally) an
+    enriched copy carrying a fresh CPU sanity value. An external kill
+    between the two lines still leaves the first as a parseable record
+    (VERDICT r4 #1: record-first, enrich-later)."""
+    record = _fallback_record(args, platform, reason, probe_seconds)
     print(json.dumps(record), flush=True)
+    if with_cpu_sanity:
+        sanity = _cpu_sanity()
+        if sanity is not None:
+            record["cpu_sanity"] = sanity
+            print(json.dumps(record), flush=True)
 
 
 def _timed_run(run, src, tgt, eps, repeats):
@@ -250,7 +271,7 @@ def _parse_args(argv=None):
                              "numbers go in the details record).")
     parser.add_argument("--probe-deadline", type=float,
                         default=float(os.environ.get(
-                            "FPCR_BENCH_PROBE_DEADLINE_S", "1800")),
+                            "FPCR_BENCH_PROBE_DEADLINE_S", "600")),
                         help="seconds to keep probing for the TPU before "
                              "emitting the structured fallback record "
                              "(env FPCR_BENCH_PROBE_DEADLINE_S)")
@@ -441,32 +462,52 @@ def measure(args) -> None:
     }), flush=True)
 
 
+def _gate_stage_record(stage: str, rc, note: str = "") -> None:
+    """Append one per-stage record to bench_results/gate_log.jsonl the
+    moment the stage finishes (VERDICT r4 weak #5: a mid-gate timeout must
+    keep the completed stages' evidence on disk)."""
+    path = os.path.join(REPO, "bench_results", "gate_log.jsonl")
+    rec = {"stage": stage, "rc": rc, "time_unix": round(time.time(), 1),
+           "note": note}
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except OSError as exc:
+        _log(f"gate log write failed ({exc})")
+    _log(f"gate stage {stage}: rc={rc} {note}")
+
+
 def _run_gate(args) -> int:
     """Hardware gate (VERDICT r3 #8): smoke -> bench -> artifact refresh.
 
     Assumes the probe already succeeded. TPU processes are strictly
     serialized (one client per chip). Exit code: nonzero if the smoke or
     the bench failed; artifact refresh failure is reported but non-fatal
-    (stale artifacts stay committed and annotated)."""
+    (stale artifacts stay committed and annotated). Each stage's record
+    is written to bench_results/gate_log.jsonl as it finishes."""
     rc_total = 0
     smoke = subprocess.run([sys.executable,
                             os.path.join(REPO, "scripts", "tpu_smoke.py")],
                            cwd=REPO)
-    _log(f"tpu_smoke rc={smoke.returncode}")
+    _gate_stage_record("tpu_smoke", smoke.returncode)
     rc_total |= (smoke.returncode != 0)
     try:
         measure(args)
+        _gate_stage_record("headline_bench", 0)
     except Exception:
         import traceback
         traceback.print_exc(file=sys.stderr)
         emit_fallback(args, "measurement raised during --smoke gate", 0.0,
-                      with_cpu_sanity=not args.cpu)
+                      with_cpu_sanity=not args.cpu, platform="error")
+        _gate_stage_record("headline_bench", 2, "measurement raised")
         rc_total |= 2
     report = subprocess.run([sys.executable,
                              os.path.join(REPO, "scripts", "tpu_report.py")],
                             cwd=REPO)
-    _log(f"tpu_report (artifact refresh) rc={report.returncode}"
-         + (" — committed artifacts left stale" if report.returncode else ""))
+    _gate_stage_record(
+        "artifact_refresh", report.returncode,
+        "committed artifacts left stale" if report.returncode else "")
     return rc_total
 
 
@@ -474,6 +515,13 @@ def main() -> int:
     args = _parse_args()
     t0 = time.monotonic()
     if not args.cpu:
+        # FIRST action: a provisional record, so an external SIGKILL at any
+        # later instant (wedged probe, driver timeout) still leaves a
+        # parseable last stdout line. Later prints supersede it.
+        print(json.dumps(_fallback_record(
+            args, "pending-probe",
+            "provisional record printed at startup; superseded by a later "
+            "line if this run completes", 0.0)), flush=True)
         if not probe_tpu(args.probe_deadline):
             emit_fallback(args,
                           "TPU backend unreachable after patient probing "
@@ -488,9 +536,12 @@ def main() -> int:
     except Exception:
         import traceback
         traceback.print_exc(file=sys.stderr)
+        # probe succeeded (or --cpu): a raise here is a code regression,
+        # not an unavailable tunnel — report it distinctly (ADVICE r4).
         emit_fallback(args, f"measurement raised: {sys.exc_info()[1]!r}",
                       time.monotonic() - t0,
-                      with_cpu_sanity=not args.cpu)
+                      with_cpu_sanity=not args.cpu,
+                      platform="error")
     return 0
 
 
