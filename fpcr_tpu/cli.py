@@ -255,9 +255,9 @@ def _cmd_sweep(args) -> int:
         csv_path=args.csv,
         slope=args.slope,
     )
+    # same machine-parsable schema as the CSV artifact: n,ms,below_noise_floor
     for n, ms, below_floor in rows:
-        suffix = ",below_noise_floor" if below_floor else ""
-        print(f"{n},{ms:.6f}{suffix}")
+        print(f"{n},{ms:.6f},{int(below_floor)}")
     return 0
 
 

@@ -546,16 +546,27 @@ def _run_icp(
             banded_threshold=config.normals_banded_threshold,
         )
 
+    # grid -> morton auto-degrade above the safe gather budget, on BOTH
+    # entry paths: a prebuilt grid table passed via matcher_state would
+    # otherwise still hit the deep in-jit ValueError the degrade exists to
+    # avoid (ADVICE r4). The distributed driver resolves per-shard before
+    # building the table it passes in, so this is a no-op there.
+    resolved = resolve_matcher(config, source.shape[0])
     if matcher_state is None:
-        # grid -> morton auto-degrade above the safe gather budget (the
-        # distributed driver resolves this itself, per-shard, before
-        # building the table it passes in)
-        config = resolve_matcher(config, source.shape[0])
+        config = resolved
         # per-call default; the distributed driver builds this ONCE on the
         # replicated target outside shard_map and passes it in (otherwise
         # every shard would redo the O(M log M) table sort)
         matcher_state = build_matcher_state(target, target_mask, config,
                                             target_normals=target_normals)
+    elif resolved.matcher != config.matcher:
+        # the caller prebuilt a grid table above the budget: discard it and
+        # rebuild for the degraded matcher (one O(M log M) sort)
+        config = resolved
+        matcher_state = build_matcher_state(target, target_mask, config,
+                                            target_normals=target_normals)
+    else:
+        config = resolved
 
     source = source.astype(jnp.float32)
     unsort = None
@@ -655,11 +666,18 @@ def run_icp(
     target_normals: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
     source_normals: Optional[jnp.ndarray] = None,
+    matcher_state=None,
 ) -> ICPResult:
-    """Register ``source`` onto ``target``; the whole loop is one jit."""
+    """Register ``source`` onto ``target``; the whole loop is one jit.
+
+    ``matcher_state`` takes a prebuilt :func:`build_matcher_state` result
+    (reuse the target's Morton/voxel tables across calls). An over-budget
+    grid state degrades to the Morton matcher exactly like the default
+    path (the table is rebuilt once).
+    """
     return _run_icp(
         source, target, config, source_mask, target_mask, target_normals,
-        axis_name, source_normals,
+        axis_name, source_normals, matcher_state=matcher_state,
     )
 
 

@@ -162,6 +162,26 @@ def test_icp_grid_fallback_still_registers(monkeypatch, clouds):
     assert float(f.transform_rmse(res.transform, gt, src)) < 1e-4
 
 
+def test_icp_prebuilt_grid_state_degrades_consistently(monkeypatch, clouds):
+    """ADVICE r4: the documented prebuilt-state pattern
+    (build_matcher_state(cfg) then run_icp(..., matcher_state=...)) with an
+    over-budget grid config must degrade to morton exactly like the
+    state=None path, not crash deep inside the jit."""
+    from fpcr_tpu.models.icp import build_matcher_state
+    from fpcr_tpu.ops import grid as grid_mod
+
+    monkeypatch.setattr(grid_mod, "MAX_CANDIDATE_GATHERS", 1_000)
+    _, q = clouds
+    src = jnp.asarray(q[:3300])  # distinct shape: avoid stale jit cache
+    gt = f.gt_transform((0.004, -0.003, 0.002), (0.003, -0.002, 0.004))
+    tgt = gt.apply(src)
+    cfg = f.ICPConfig(matcher="grid", max_iterations=30, grid_cap=16)
+    state = build_matcher_state(tgt, None, cfg)  # a real (over-budget) grid table
+    with pytest.warns(UserWarning, match="morton"):
+        res = f.run_icp(src, tgt, cfg, matcher_state=state)
+    assert float(f.transform_rmse(res.transform, gt, src)) < 1e-4
+
+
 def test_voxel_downsample_matches_dict_oracle():
     """Static-shape voxel downsampling equals the classic hash-map
     formulation exactly (per-voxel centroids, one per occupied cell)."""
