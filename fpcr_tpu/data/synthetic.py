@@ -72,6 +72,38 @@ def transformed_scene(
     return RegistrationScene(points, gt.apply(points), gt)
 
 
+def wide_plane_cloud(
+    sheets: int = 18,
+    grid: int = 120,
+    extent: float = 5.0,
+    sheet_spacing: float = 0.25,
+    noise: float = 0.01,
+    seed: int = 7,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Plane-dominant adversarial cloud: ``sheets`` dense (y, z) sheets of
+    ``grid x grid`` points at x stations ``sheet_spacing`` apart
+    (defaults: 18 x 120 x 120 = 259,200 points).
+
+    Each x-plane of the resulting voxel table holds ~(extent/voxel)² rows,
+    which outgrows any fixed fused-NDT band window — the scene that forces
+    ``models/ndt._resolve_fused``'s window escalation and, past
+    ``_FUSED_WINDOW_CAP``, the per-offset XLA fallback (BENCH_NOTES
+    "Band-coverage policy": measured on this cloud at 259k, policy picks
+    xla, 19.6 ms/iter, matched_fraction 0.895)."""
+    rng = np.random.default_rng(seed)
+    ys, zs = np.meshgrid(np.linspace(0, extent, grid, dtype=np.float32),
+                         np.linspace(0, extent, grid, dtype=np.float32),
+                         indexing="ij")
+    out = []
+    for xi in range(sheets):
+        sheet = np.stack([np.full(ys.size, sheet_spacing * xi, np.float32),
+                          ys.ravel(), zs.ravel()], axis=1)
+        out.append(sheet + rng.normal(0, noise, sheet.shape
+                                      ).astype(np.float32))
+    return jnp.asarray(np.concatenate(out), dtype=dtype)
+
+
 def random_cloud(
     n: int,
     seed: int = 0,

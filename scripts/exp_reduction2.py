@@ -13,6 +13,16 @@ and block shape as the library kernel:
   minonly  matmul + min (no argmin, no index update)
   hier     matmul + min, then argmin as (d == min) masked-iota min —
            exact, trades jnp.argmin's combined reduce for 3 cheap passes
+  packed   the (value|index) single-word min VERDICT r4 #4 asks to
+           re-test: nonneg-f32 distance bits are order-preserving as
+           int32, so (bits & ~0x3FFF) | global_col packs distance AND
+           index into ONE int32 — min+argmin collapse to a single VPU
+           min pass + one where-update. Selection error bounded by the
+           14 dropped mantissa bits (~6e-5 relative — near-tie swaps
+           only, same class packed6 already accepts). The r2 rejection
+           (~6% win) was measured against the HIGHEST kernel whose MXU
+           term dominated; the roofline says the reduction is now ~60%
+           of the kernel.
   blocks   full kernel at alternative (block_n, block_m) tilings
 
 Slope-timed standalone (separate lo/hi jits, perturbed inputs). TPU only.
@@ -38,6 +48,9 @@ from fpcr_tpu.ops.matching_pallas import (  # noqa: E402
     _LANES, _augment, _split3, nn_argmin_pallas)
 
 
+_IDX_BITS = 14  # global column index bits packed into the int32 low bits
+
+
 def _kern(variant, p_ref, qT_ref, best_d_ref, best_i_ref):
     j = pl.program_id(1)
 
@@ -53,6 +66,23 @@ def _kern(variant, p_ref, qT_ref, best_d_ref, best_i_ref):
 
     if variant == "mmonly":
         best_d_ref[:] = d[:, :1]
+        return
+    if variant == "packed":
+        # clamp to nonneg so the int32 bit pattern is order-preserving,
+        # drop _IDX_BITS mantissa bits, splice in the global column index:
+        # ONE min pass yields both the (quantized) distance and its argmin.
+        bm = qT_ref.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * bm
+        bits = jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
+        packed = (bits & jnp.int32(~((1 << _IDX_BITS) - 1))) | col
+        local = jnp.min(packed, axis=1)[:, None]
+        # best_d_ref carries the running packed word (reinterpreted f32 at
+        # unpack time); best_i_ref mirrors the index for the caller
+        cur = jax.lax.bitcast_convert_type(best_d_ref[:], jnp.int32)
+        cur = jnp.where(j == 0, jnp.int32(0x7F7FFFFF), cur)
+        new = jnp.minimum(cur, local)
+        best_d_ref[:] = jax.lax.bitcast_convert_type(new, jnp.float32)
+        best_i_ref[:] = new & jnp.int32((1 << _IDX_BITS) - 1)
         return
     local_min = jnp.min(d, axis=1)[:, None]
     if variant == "minonly":
@@ -156,10 +186,24 @@ def main():
         i_v, d_v = run_variant(src, tgt, variant=v)
         same = float(jnp.mean((i_v == i_lib).astype(jnp.float32)))
         assert same > 0.999, (v, same)
+    # packed: disagreements must be genuine near-ties (quantization drops
+    # _IDX_BITS mantissa bits — bounded relative error, like packed6's own
+    # near-tie swaps); quantified, not just gated
+    i_pk, d_pk = run_variant(src, tgt, variant="packed")
+    diff = np.asarray(i_pk != i_lib)
+    tgt_np, src_np = np.asarray(tgt), np.asarray(src)
+    extra = 0.0
+    if diff.any():
+        d_true = ((src_np[diff] - tgt_np[np.asarray(i_lib)[diff]]) ** 2).sum(1)
+        d_got = ((src_np[diff] - tgt_np[np.asarray(i_pk)[diff]]) ** 2).sum(1)
+        extra = float(np.max(d_got - d_true))
+    print(json.dumps({"packed_swaps": int(diff.sum()),
+                      "packed_max_extra_sqdist": extra}), flush=True)
+    assert diff.mean() < 5e-3 and extra < 1e-5, (diff.mean(), extra)
 
     results = {}
     results["full_lib"] = slope_time(lambda x: nn_argmin_pallas(x, tgt), src)
-    for v in ("mmonly", "minonly", "hier", "fullx"):
+    for v in ("mmonly", "minonly", "hier", "fullx", "packed"):
         results[v] = slope_time(
             lambda x, v=v: run_variant(x, tgt, variant=v), src)
     for bn, bm in ((512, 2048), (512, 4096), (1024, 8192), (256, 8192),

@@ -20,7 +20,11 @@ Checks:
   8. morton matchers at non-chunk-multiple N (probe-padding bug class,
      VERDICT r3 #2) — both xla and pallas implementations;
   9. isotropic-covariance voxels through eigh3 + NDT (frame bug class,
-     VERDICT r3 #2).
+     VERDICT r3 #2);
+  10. the 259k wide-plane cloud that stresses the fused-NDT band-coverage
+     policy (VERDICT r4 weak #3): asserts _resolve_fused's choice, fused
+     count parity vs the gather oracle at the chosen window, and
+     end-to-end GT recovery + matched_fraction on hardware.
 
 Run: python scripts/tpu_smoke.py   (on the TPU; ~a few min incl. compiles)
 or:  python bench.py --smoke       (probe -> smoke -> bench -> artifacts)
@@ -261,6 +265,48 @@ def main() -> int:
     # O(1)-wrong inverse covariances, i.e. divergence or err >> 1e-2
     check("NDT with isotropic voxels converges finite",
           bool(np.isfinite(err9)) and err9 < 5e-3, f"err={err9:.2e}")
+
+    # --- 10. wide-plane 259k cloud: fused band-coverage policy ----------
+    # The round-4 exact d_max bound keeps this scene on the fused pallas
+    # path with an escalated window (the round-3 row-count bound forced
+    # the 19.6 ms/iter xla fallback here) — assert the policy choice AND
+    # that the escalated window actually covers (count parity vs the
+    # gather oracle), then end-to-end registration quality.
+    from fpcr_tpu.data.synthetic import wide_plane_cloud
+    from fpcr_tpu.models.ndt import NDTConfig as NCfg
+    from fpcr_tpu.models.ndt import resolve_ndt_config, run_ndt as run_ndt10
+    from fpcr_tpu.ops.ndt import cell_key_order as cko10
+
+    wp = wide_plane_cloud()  # 18 x (120x120) sheets = 259,200 pts
+    grid10 = f.build_ndt_grid(wp, 0.25)
+    gt10 = f.gt_transform((0.004, -0.003, 0.002), (0.002, -0.002, 0.003))
+    src10 = gt10.inverse().apply(wp)
+    src_sorted10 = jnp.take(src10, cko10(src10, grid10), axis=0)
+    cfg10 = resolve_ndt_config(
+        NCfg(voxel_size=0.25, lookup="banded", lookup_chunk=512), grid10,
+        src_sorted10)
+    on_tpu = dev.platform == "tpu"
+    check("wide-plane fused policy (pallas, escalated window)",
+          (not on_tpu) or (cfg10.lookup_impl == "pallas"
+                           and cfg10.lookup_window > 256),
+          f"impl={cfg10.lookup_impl}, window={cfg10.lookup_window}")
+    if cfg10.lookup_impl == "pallas":
+        WS10, WSr10, count10, _ = reference_neighborhood_moments(
+            src_sorted10, grid10, d1f, d2f)
+        tables10 = prepare_fused_tables(grid10)
+        rows10, _ = ndt_fused_moments(
+            src_sorted10, grid10, tables10, voxel_size=0.25, d1=d1f, d2=d2f,
+            chunk=cfg10.lookup_chunk, window=cfg10.lookup_window)
+        counts_ok = np.array_equal(np.asarray(rows10)[:, 10],
+                                   np.asarray(count10))
+        check("wide-plane escalated window covers (count parity)", counts_ok,
+              f"window={cfg10.lookup_window}")
+    res10 = run_ndt10(src10, wp, cfg10, grid=grid10)
+    err10 = float(f.transform_rmse(res10.transform, gt10, src10))
+    mf10 = float(res10.matched_fraction)
+    check("wide-plane NDT registration",
+          bool(np.isfinite(err10)) and err10 < 1e-2 and mf10 > 0.85,
+          f"err={err10:.2e}, matched_fraction={mf10:.3f}")
 
     print(f"\n{len(FAILURES)} failure(s)" if FAILURES else "\nall checks ok",
           flush=True)
