@@ -285,6 +285,81 @@ def knn_morton(
     return idx, d
 
 
+def band_quality_probe(
+    p: jnp.ndarray,
+    table: MortonTable,
+    chunk: int = 512,
+    window: int = 64,
+    sample: int = 2048,
+) -> dict:
+    """Scale-aware banded match quality at a (chunk, window) candidate.
+
+    Measured facts behind this probe's design (round 5, 262k surface +
+    uniform scenes): the exact-NN rank reach |rank(NN) − band center| is
+    HEAVY-TAILED — p50 ≈ chunk/2 (the chunk's own span) but p99 ≈ 3.6-6.8k
+    and p99.9 ≥ 32k, far beyond any affordable window. No percentile of
+    the rank spread justifies a window; the production w=64 already
+    operates deep in the miss-absorbing regime where auto_trim masks the
+    tail and re-matching converges. So candidate band geometries are
+    compared by *match quality* (the thing the solve sees), not coverage:
+
+    * ``miss_rate`` — sampled rows whose banded squared distance exceeds
+      the exact one beyond f32 noise (same scale-aware floors as
+      ``tune_morton``);
+    * ``damaging_rate`` — misses whose excess is large relative to the
+      geometry extent (the only ones that bias the solve);
+    * ``mean_excess_rel`` — mean distance excess over the sample, relative
+      to the mean exact distance (solve-bias proxy).
+
+    Pick the smallest band ratio ``(chunk + 2·window + 128)/chunk`` whose
+    damaging_rate/mean_excess match the proven production config's —
+    see ``scripts/exp_morton_band.py`` for the hardware A/B that consumes
+    this. ``p`` must be in source-coherent order (``source_morton_order``).
+    """
+    import numpy as np
+
+    n = p.shape[0]
+    p = p.astype(jnp.float32)
+    _, d_band, _, _ = morton_nn(p, table, None, chunk=chunk, window=window)
+
+    stride = max(1, -(-n // sample))
+    rows = jnp.clip(jnp.arange(sample, dtype=jnp.int32) * stride, 0, n - 1)
+    p_s = jnp.take(p, rows, axis=0)
+    d_band_s = np.asarray(jnp.take(d_band, rows))
+
+    q = table.points_sorted
+    q_sq = jnp.sum(q * q, axis=1)
+    valid = jnp.arange(q.shape[0]) < table.valid_count
+    q_sq = jnp.where(valid, q_sq, jnp.inf)
+    d_full = (jnp.sum(p_s * p_s, axis=1)[:, None]
+              - 2.0 * jax.lax.dot_general(
+                  p_s, q,
+                  dimension_numbers=(((1,), (1,)), ((), ())),
+                  precision=jax.lax.Precision.HIGHEST)
+              + q_sq[None, :])
+    d_exact = np.asarray(jnp.maximum(jnp.min(d_full, axis=1), 0.0))
+
+    # scale-aware noise floors (same reasoning as tune_morton's probe):
+    # f32 expansion-form disagreement scales with |p|²; damaging scales
+    # with the geometry extent
+    p_np = np.asarray(p_s, dtype=np.float64)
+    excess = d_band_s - d_exact
+    abs2 = float(np.mean(np.sum(p_np ** 2, axis=1)))
+    extent2 = float(np.mean(np.sum((p_np - p_np.mean(axis=0)) ** 2, axis=1)))
+    noise = max(1e-6 * max(extent2, 1e-12), 4e-6 * abs2)
+    miss = excess > np.maximum(noise, 1e-4 * d_exact)
+    damaging = excess > max(1e-4 * max(extent2, 1e-12), 4.0 * noise)
+    return {
+        "chunk": chunk,
+        "window": window,
+        "band_ratio": (chunk + 2 * window + 128) / chunk,
+        "miss_rate": float(miss.mean()),
+        "damaging_rate": float(damaging.mean()),
+        "mean_excess_rel": float(np.clip(excess, 0, None).mean()
+                                 / max(d_exact.mean(), 1e-30)),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("sample", "chunk", "window",
                                              "unroll", "rel_tol"))
 def seam_miss_rate(

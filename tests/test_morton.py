@@ -472,3 +472,32 @@ def test_morton_probe_never_reads_padding(impl):
     tail = slice(768, 800)
     agree_tail = (got_idx[tail] == ref_idx[tail]).mean()
     assert agree_tail > 0.9, agree_tail
+
+
+def test_band_quality_probe_ranks_geometries():
+    """ops/morton.band_quality_probe (VERDICT r4 #5): the scale-aware
+    quality probe behind the band-geometry study. Contracts: rates are
+    sane probabilities; a saturating window reports ~zero misses; quality
+    degrades monotonically-ish as the window shrinks toward zero; the
+    band_ratio bookkeeping matches the kernel's traffic formula."""
+    from fpcr_tpu.ops.morton import band_quality_probe
+
+    rng = np.random.default_rng(3)
+    q = rng.uniform(-2, 2, (8192, 3)).astype(np.float32)
+    p = (q + rng.normal(scale=0.002, size=q.shape)).astype(np.float32)
+    table = build_morton_table(jnp.asarray(q))
+    order = source_morton_order(jnp.asarray(p), table)
+    p_sorted = jnp.take(jnp.asarray(p), order, axis=0)
+
+    # window covering the whole table: banded == exact, zero misses
+    full = band_quality_probe(p_sorted, table, chunk=256, window=8192)
+    assert full["miss_rate"] < 1e-3 and full["damaging_rate"] < 1e-3
+
+    narrow = band_quality_probe(p_sorted, table, chunk=256, window=64)
+    tiny = band_quality_probe(p_sorted, table, chunk=256, window=1)
+    for rec in (full, narrow, tiny):
+        assert 0.0 <= rec["miss_rate"] <= 1.0
+        assert 0.0 <= rec["damaging_rate"] <= rec["miss_rate"] + 1e-9
+        assert rec["mean_excess_rel"] >= 0.0
+    assert tiny["miss_rate"] >= narrow["miss_rate"] >= full["miss_rate"]
+    assert narrow["band_ratio"] == (256 + 2 * 64 + 128) / 256
