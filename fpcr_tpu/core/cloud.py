@@ -8,7 +8,7 @@ sizes are handled by padding to a tile multiple plus a validity mask.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +31,21 @@ def fit_unroll(num_chunks: int, unroll: int) -> int:
     while num_chunks % u:
         u //= 2
     return max(u, 1)
+
+
+def padded_chunks(n: int, chunk: int, unroll: int) -> Tuple[int, int]:
+    """(num_chunks, u): chunk count for ``n`` rows padded so the static
+    unroll divides it — restoring the full DMA double-buffer pipeline on
+    awkward counts (259,200 pts → 507 chunks, largest pow2 divisor 1 →
+    serialized DMAs; measured on the wide-plane smoke scene). Pads at
+    most ~12.5% extra chunks; past that the waste outweighs the pipeline
+    and the natural count keeps its best divisor."""
+    raw = round_up(max(n, 1), chunk) // chunk
+    want = 1 << (max(unroll, 1).bit_length() - 1)
+    padded = round_up(raw, want)
+    if padded - raw <= max(1, raw // 8):
+        return padded, want
+    return raw, fit_unroll(raw, unroll)
 
 
 class MaskedCloud(NamedTuple):

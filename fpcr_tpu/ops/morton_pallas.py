@@ -48,7 +48,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.cloud import fit_unroll, round_up
+from ..core.cloud import padded_chunks, round_up
 from .morton import MortonTable, morton_codes
 
 _SUBLANES = 8  # augmented coordinate rows in the transposed tables
@@ -231,9 +231,11 @@ def morton_nn_pallas(
     n = p.shape[0]
     p = p.astype(jnp.float32)
 
-    n_pad = round_up(n, chunk)
-    num_chunks = n_pad // chunk
-    u = fit_unroll(num_chunks, unroll)
+    # pad the chunk count so the static unroll divides it: an awkward
+    # count (259,200 pts → 507 chunks, largest pow2 divisor 1) would
+    # serialize the band DMA pipeline (measured on the wide-plane scene)
+    num_chunks, u = padded_chunks(n, chunk, unroll)
+    n_pad = num_chunks * chunk
     num_groups = num_chunks // u
 
     # +_ALIGN slack: bases are rounded down to the 128-lane alignment, which

@@ -76,7 +76,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.cloud import fit_unroll, round_up
+from ..core.cloud import padded_chunks, round_up
 from .morton_pallas import _pack6
 from .ndt import _AXIS_BITS, _KEY_PAD, NDTGrid, _cells_raw, _in_range, _pack
 
@@ -387,9 +387,8 @@ def ndt_fused_moments(
                    jnp.clip(c, -(1 << 20), 1 << 20).astype(jnp.float32),
                    jnp.float32(-(1 << 11)))
 
-    n_pad = round_up(n, chunk)
-    num_chunks = n_pad // chunk
-    u = fit_unroll(num_chunks, unroll)
+    num_chunks, u = padded_chunks(n, chunk, unroll)
+    n_pad = num_chunks * chunk
     num_groups = num_chunks // u
 
     if mask == "matmul":
@@ -513,7 +512,10 @@ def ndt_fused_moments(
         cbuf_bytes + 2 * _TAB_LANES * band * 4
         + (5 * band * chunk * 4) // 2
         + 4 * (96 * u * chunk * 2) + 2 * u * _TAB_LANES * chunk * 4
-        + 2 * 1024 * 1024,
+        # 2.5 MiB misc headroom: Mosaic's actual scoped need measured
+        # 60 KiB past the old 2 MiB term at (band 1408, chunk 512, u 1)
+        # on v5e — the wide-plane smoke scene's escalated window
+        + 5 * 1024 * 1024 // 2,
         8 * 1024 * 1024)
     if vmem_budget >= out_bytes:
         vmem_budget = min(vmem_budget + out_bytes, 100 * 1024 * 1024)

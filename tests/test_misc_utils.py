@@ -116,6 +116,25 @@ def test_fit_unroll_contract():
         fit_unroll(4, 0)
 
 
+def test_padded_chunks_restores_unroll():
+    """Awkward chunk counts pad up (<=12.5% waste) so the static unroll —
+    and with it the kernel's DMA double-buffer pipeline — survives; past
+    that the natural count keeps its best divisor."""
+    from fpcr_tpu.core.cloud import padded_chunks
+
+    # the wide-plane smoke scene: 259,200 pts / 512 = 507 chunks (odd) —
+    # fit_unroll gave 1 (serialized DMAs + the v5e VMEM shortfall); now
+    # pads 5 extra chunks to 512 and keeps u=8
+    assert padded_chunks(259_200, 512, 8) == (512, 8)
+    assert padded_chunks(1_048_576, 512, 8) == (2048, 8)
+    assert padded_chunks(16_384, 512, 8) == (32, 8)
+    # tiny inputs: padding 2 -> 8 chunks would 4x the work — keep 2, u=2
+    assert padded_chunks(1_000, 512, 8) == (2, 2)
+    assert padded_chunks(100, 512, 8) == (1, 1)
+    # exactly one chunk short of a multiple always pads (waste <= 1 chunk)
+    assert padded_chunks(512 * 7, 512, 8) == (8, 8)
+
+
 def test_evaluate_registration_auto_threshold():
     """max_correspondence_dist=None resolves to 2x the target's median
     spacing — scale-free fitness: the same aligned pair evaluates to
