@@ -55,21 +55,24 @@ def bench(n: int, mask: str, lo=8, hi=32, repeats=3, voxel=0.12):
     src = jnp.take(src, cell_key_order(src, grid), axis=0)
     tables = prepare_fused_tables(grid, mask=mask)
 
-    def step(x, _):
-        rows, xp = ndt_fused_moments(
-            x, grid, tables, voxel_size=voxel, d1=abs(d1f), d2=d2f,
-            chunk=chunk, window=window, mask=mask)
-        # serialize iterations: thread a value-preserving dependency on
-        # the kernel output into the next input
-        return x + 0.0 * rows[0, 0], rows[0, 10]
-
     def make(iters):
+        # grid/tables must be jit ARGUMENTS: closed-over device arrays
+        # bake into the HLO as constants and the tunnel's remote_compile
+        # rejects the ~50 MB payload at 1M points (HTTP 413)
         @jax.jit
-        def go(x):
+        def go(x, g, tb):
+            def step(xc, _):
+                rows, xp = ndt_fused_moments(
+                    xc, g, tb, voxel_size=voxel, d1=abs(d1f), d2=d2f,
+                    chunk=chunk, window=window, mask=mask)
+                # serialize iterations: thread a value-preserving
+                # dependency on the kernel output into the next input
+                return xc + 0.0 * rows[0, 0], rows[0, 10]
             y, outs = jax.lax.scan(step, x, None, length=iters)
             return outs[-1]
-        float(go(src))  # compile + warm
-        return go
+        fn = lambda x: go(x, grid, tables)  # noqa: E731
+        float(fn(src))  # compile + warm
+        return fn
 
     run_lo, run_hi = make(lo), make(hi)
     eps = np.float32(1e-7)
