@@ -16,16 +16,20 @@ of the direct7 field is three MXU matmuls per band chunk:
   single-valued surface), and x±1 is ~one x-plane of rows (≈ the cloud
   width in voxels). A ``window`` of 256 rows each side therefore spans
   the whole neighborhood — no per-offset bands, no 7 probes;
-* **neighborhood mask on the VPU** (``mask='vpu'``, default): for
-  integer cells the direct7 predicate ``|c_b − c_q|² ≤ 1`` equals
-  ``Σ|Δc_axis| ≤ 1``, computed from per-axis cell coordinates riding
-  three free lanes of the feature band — every |Δ| is integer-exact in
-  f32. This removes the round-3 mask matmul (a [band, chunk] MXU pass,
-  ~25% of the kernel's MXU tile-ops at window 384), its [96, m_pad]
-  bf16 ``cellpk`` operand (~200 MB at 1M points) and its second band
-  DMA stream, for ~8 VPU passes that overlap the remaining matmuls.
-  ``mask='matmul'`` keeps the exact pack6 integer-distance matmul
-  (``d(b,q) = |c_b − c_q|²`` in one bf16 MXU pass) for A/B timing;
+* **neighborhood mask on the MXU** (``mask='matmul'``, default): the
+  exact pack6 integer-distance matmul ``d(b,q) = |c_b − c_q|²`` in one
+  bf16 MXU pass against a [96, m_pad] bf16 ``cellpk`` operand.
+  ``mask='vpu'`` instead evaluates the direct7 predicate
+  ``Σ|Δc_axis| ≤ 1`` from per-axis cell coordinates riding three free
+  lanes of the feature band (integer-exact in f32), dropping the mask
+  matmul, the cellpk operand (~200 MB at 1M points) and its band DMA
+  stream for ~8 VPU passes. The static argument favored 'vpu'; the
+  round-5 hardware A/B (production window 256 / chunk 512) measured the
+  opposite — matmul 2.255 vs vpu 2.593 ms/pass @262k, 10.401 vs 11.652
+  @1M (BENCH_NOTES §NDT mask A/B): the VPU passes serialize against the
+  extraction matmuls while Mosaic overlaps the mask matmul's tile-ops,
+  so the MXU form stays the default and both modes remain bit-identical
+  (tests/test_ndt.py mode-parity);
 * **Mahalanobis distances as one bilinear matmul**: ``q(b,q) =
   (x_q − μ_b)ᵀ S_b (x_q − μ_b)`` expands over band features
   ``[S(6), Sμ′(3), μ′ᵀSμ′]`` × query monomials ``[x′x′(6), −2x′(3), 1]``,
@@ -135,7 +139,7 @@ class FusedNDTTables(NamedTuple):
 
 
 def prepare_fused_tables(grid: NDTGrid,
-                         mask: str = "vpu") -> FusedNDTTables:
+                         mask: str = "matmul") -> FusedNDTTables:
     """Kernel-side tables: the transposed feature table (means re-anchored
     to the grid origin so the in-kernel chunk anchoring stays in small
     coordinates; per-axis cell coordinates in lanes 10:13 for the VPU
@@ -349,7 +353,7 @@ def ndt_fused_moments(
     unroll: int = 8,
     interpret: Optional[bool] = None,
     source_mask: Optional[jnp.ndarray] = None,
-    mask: str = "vpu",
+    mask: str = "matmul",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-query direct7 GN moments in one kernel pass.
 

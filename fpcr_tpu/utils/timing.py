@@ -54,6 +54,8 @@ def slope_benchmark(
     k_lo: int = 2,
     k_hi: int = 22,
     repeats: int = 5,
+    noise_floor_ms: float = 1.0,
+    k_cap: int = 1422,
 ) -> float:
     """Per-call milliseconds of ``run(arg)`` by the slope method: jit a
     dynamic-length ``fori_loop`` chaining k calls (input perturbed per
@@ -63,6 +65,13 @@ def slope_benchmark(
     This is the honest kernel-time estimator on remote/tunneled devices,
     where a single dispatch carries ~tens of ms of RPC overhead that
     per-call timing (``benchmark``) cannot separate from device time.
+
+    Fast kernels at short chains sit UNDER the tunnel noise floor — the
+    lo/hi delta goes negative and the old clamp reported a nonsense
+    0.0 ms (the committed round-5 ``morton,16384,0.000000`` ladder row).
+    ``k`` is a dynamic loop bound (no recompile), so instead of clamping
+    we escalate the chain length ×4 until the measured delta clears
+    ``noise_floor_ms`` or ``k_hi`` hits ``k_cap``.
     """
     import jax.numpy as jnp
     import numpy as np
@@ -77,19 +86,27 @@ def slope_benchmark(
 
     float(looped(arg, k_lo))  # warm both dispatch shapes (compile once)
     float(looped(arg, k_hi))
-    # min over repeats SEPARATELY for lo and hi: a single slow outlier in
-    # either leg (tunnel hiccup, GC) must not produce a garbage/negative
-    # difference
-    best_lo = best_hi = float("inf")
-    for r in range(repeats):
-        a = arg + np.float32(1e-6 * (r + 1))
-        t0 = time.perf_counter()
-        float(looped(a, k_lo))
-        best_lo = min(best_lo, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(looped(a, k_hi))
-        best_hi = min(best_hi, time.perf_counter() - t0)
-    return max(best_hi - best_lo, 0.0) / (k_hi - k_lo) * 1e3
+
+    def measure(hi: int) -> float:
+        # min over repeats SEPARATELY for lo and hi: a single slow
+        # outlier in either leg (tunnel hiccup, GC) must not produce a
+        # garbage/negative difference
+        best_lo = best_hi = float("inf")
+        for r in range(repeats):
+            a = arg + np.float32(1e-6 * (r + 1))
+            t0 = time.perf_counter()
+            float(looped(a, k_lo))
+            best_lo = min(best_lo, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(looped(a, hi))
+            best_hi = min(best_hi, time.perf_counter() - t0)
+        return best_hi - best_lo
+
+    delta_s = measure(k_hi)
+    while delta_s * 1e3 < noise_floor_ms and k_hi * 4 <= k_cap:
+        k_hi *= 4
+        delta_s = measure(k_hi)
+    return max(delta_s, 0.0) / (k_hi - k_lo) * 1e3
 
 
 class PhaseTimer:

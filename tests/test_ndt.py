@@ -353,8 +353,9 @@ def test_fused_moments_match_gather_path():
 
 
 def test_fused_mask_modes_bit_identical():
-    """mask='vpu' (per-axis Σ|Δc| ≤ 1 on the VPU, round-4 default) and
-    mask='matmul' (pack6 integer-distance MXU pass) are both EXACT
+    """mask='vpu' (per-axis Σ|Δc| ≤ 1 on the VPU) and mask='matmul'
+    (pack6 integer-distance MXU pass, default — it won the round-5
+    hardware A/B, BENCH_NOTES §NDT mask) are both EXACT
     integer predicates, so the kernels must produce bit-identical rows —
     including out-of-grid queries (clamped cells face-matching boundary
     voxels) and masked-out rows (structural misses)."""
