@@ -53,14 +53,14 @@ BASELINE_PLANE_MS_PER_ITER_16384 = 7.1085  # RTX 2060, plane metric
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# last-resort committed values (bench_results/tpu_report.json, round 3);
+# last-resort committed values (bench_results/tpu_report.json, round 5);
 # _load_committed() re-reads the artifact at runtime — these constants only
 # back it up if the artifact itself is unreadable.
 LAST_COMMITTED = {
-    "point_ms_per_iter_16384": 0.5562,
-    "plane_ms_per_iter_16384": 0.53,
+    "point_ms_per_iter_16384": 0.4744,
+    "plane_ms_per_iter_16384": 0.5182,
     "source": "bench_results/tpu_report.json icp_ladder_16384.pallas "
-              "(TPU, round 3, 2026-08-17)",
+              "(TPU, round 5, 2026-08-19)",
 }
 
 

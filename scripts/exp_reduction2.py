@@ -25,6 +25,19 @@ and block shape as the library kernel:
            of the kernel.
   blocks   full kernel at alternative (block_n, block_m) tilings
 
+Round-5 second pass — the first hardware run measured mmonly 0.040 ms
+vs minonly 0.419: the MXU+DMA floor is ~9% of the kernel and the
+cross-lane ``jnp.min(axis=1)`` lowering eats the rest (~10x off VPU
+elementwise throughput). New variants restructure the reduction to be
+lane-parallel:
+
+  ts        exact two-stage: elementwise min over the 64 [bn, 128]
+            lane-slabs (one full-data pass of vector mins), cross-lane
+            min of the [bn, 128] accumulator, then argmin by broadcast
+            compare + masked-iota two-stage min (2 more passes)
+  packed_ts the packed (value|index) word reduced two-stage: slab-wise
+            elementwise int32 min, then one tiny cross-lane pass
+
 Slope-timed standalone (separate lo/hi jits, perturbed inputs). TPU only.
 """
 
@@ -84,6 +97,42 @@ def _kern(variant, p_ref, qT_ref, best_d_ref, best_i_ref):
         best_d_ref[:] = jax.lax.bitcast_convert_type(new, jnp.float32)
         best_i_ref[:] = new & jnp.int32((1 << _IDX_BITS) - 1)
         return
+    if variant in ("ts", "packed_ts"):
+        bm = qT_ref.shape[1]
+        nslab = bm // 128
+        if variant == "packed_ts":
+            col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * bm
+            bits = jax.lax.bitcast_convert_type(
+                jnp.maximum(d, 0.0), jnp.int32)
+            pk = (bits & jnp.int32(~((1 << _IDX_BITS) - 1))) | col
+            acc = pk[:, :128]
+            for s in range(1, nslab):
+                acc = jnp.minimum(acc, pk[:, s * 128:(s + 1) * 128])
+            local = jnp.min(acc, axis=1)[:, None]
+            cur = jax.lax.bitcast_convert_type(best_d_ref[:], jnp.int32)
+            cur = jnp.where(j == 0, jnp.int32(0x7F7FFFFF), cur)
+            new = jnp.minimum(cur, local)
+            best_d_ref[:] = jax.lax.bitcast_convert_type(new, jnp.float32)
+            best_i_ref[:] = new & jnp.int32((1 << _IDX_BITS) - 1)
+            return
+        # exact two-stage: slab-min pass, tiny cross-lane, then argmin by
+        # broadcast compare + masked-iota reduced the same two-stage way
+        acc = d[:, :128]
+        for s in range(1, nslab):
+            acc = jnp.minimum(acc, d[:, s * 128:(s + 1) * 128])
+        local_min = jnp.min(acc, axis=1)[:, None]
+        big = jnp.int32(1 << 30)
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        masked = jnp.where(d <= local_min, col, big)
+        iacc = masked[:, :128]
+        for s in range(1, nslab):
+            iacc = jnp.minimum(iacc, masked[:, s * 128:(s + 1) * 128])
+        local_arg = jnp.min(iacc, axis=1)[:, None]
+        better = local_min < best_d_ref[:]
+        best_d_ref[:] = jnp.where(better, local_min, best_d_ref[:])
+        best_i_ref[:] = jnp.where(better, j * bm + local_arg,
+                                  best_i_ref[:])
+        return
     local_min = jnp.min(d, axis=1)[:, None]
     if variant == "minonly":
         best_d_ref[:] = jnp.minimum(best_d_ref[:], local_min)
@@ -135,7 +184,12 @@ def run_variant(p, q, variant="fullx", bn=512, bm=8192):
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            # the ablated variants carry ~1.3 MB of temporaries the library
+            # kernel doesn't (Mosaic scoped-vmem OOM at the default 16 MB
+            # with the production 512x8192 tile); raise the scoped limit so
+            # every variant runs at the SAME tiling as production
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=jax.devices()[0].platform != "tpu",
     )(p_in, q_in)
     return best_i[:n, 0], best_d[:n, 0]
@@ -182,7 +236,7 @@ def main():
 
     # correctness gate vs the library kernel before timing anything
     i_lib, d_lib = nn_argmin_pallas(src, tgt)
-    for v in ("fullx", "hier"):
+    for v in ("fullx", "hier", "ts"):
         i_v, d_v = run_variant(src, tgt, variant=v)
         same = float(jnp.mean((i_v == i_lib).astype(jnp.float32)))
         assert same > 0.999, (v, same)
@@ -190,6 +244,8 @@ def main():
     # _IDX_BITS mantissa bits — bounded relative error, like packed6's own
     # near-tie swaps); quantified, not just gated
     i_pk, d_pk = run_variant(src, tgt, variant="packed")
+    i_pt, _ = run_variant(src, tgt, variant="packed_ts")
+    np.testing.assert_array_equal(np.asarray(i_pt), np.asarray(i_pk))
     diff = np.asarray(i_pk != i_lib)
     tgt_np, src_np = np.asarray(tgt), np.asarray(src)
     extra = 0.0
@@ -203,7 +259,8 @@ def main():
 
     results = {}
     results["full_lib"] = slope_time(lambda x: nn_argmin_pallas(x, tgt), src)
-    for v in ("mmonly", "minonly", "hier", "fullx", "packed"):
+    for v in ("mmonly", "minonly", "hier", "fullx", "packed", "ts",
+              "packed_ts"):
         results[v] = slope_time(
             lambda x, v=v: run_variant(x, tgt, variant=v), src)
     for bn, bm in ((512, 2048), (512, 4096), (1024, 8192), (256, 8192),
