@@ -117,7 +117,8 @@ def matching_benchmark(
     n: int = 16384,
     repeats: int = 10,
     variants: Iterable[str] = ("xla", "xla_exact", "pallas_highest",
-                               "pallas_packed6", "morton"),
+                               "pallas_packed6", "pallas_packedidx",
+                               "morton"),
     csv_path: Optional[str] = None,
 ) -> dict:
     """Min-of-``repeats`` matching-kernel times (ms) at N=M=``n`` for each
@@ -148,6 +149,8 @@ def matching_benchmark(
             lambda x: nn_argmin_pallas(x, q, mode="highest")[0], p),
         "pallas_packed6": (
             lambda x: nn_argmin_pallas(x, q, mode="packed6")[0], p),
+        "pallas_packedidx": (
+            lambda x: nn_argmin_pallas(x, q, mode="packed6_idx")[0], p),
         "morton": (lambda x: morton_nn_pallas(x, table)[2], p_sorted),
     }
     unknown = [v for v in variants if v not in impls]

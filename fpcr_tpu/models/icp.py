@@ -93,7 +93,10 @@ class ICPConfig:
     morton_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
     # Pallas kernel precision for BOTH the brute and the Morton band
     # matchers: 'packed6' (K-packed bf16x6 — one MXU pass, f32-grade, the
-    # fast default) | 'highest' (bit-exact f32 dot; ~6 passes)
+    # fast default) | 'highest' (bit-exact f32 dot; ~6 passes) |
+    # 'packed6_idx' (brute matcher only: packed value|index single-word
+    # reduction, the measured kernel floor — near-tie index swaps within
+    # ~2e-3 relative sqdist; the Morton matcher treats it as 'packed6')
     pallas_mode: str = "packed6"
     # 2 = also query a half-cell-shifted second curve and keep the closer
     # match (covers Morton seam misses; ~2x matching cost)
@@ -116,7 +119,7 @@ class ICPConfig:
             raise ValueError(f"unknown matcher {self.matcher!r}")
         if self.robust_loss not in (None, "huber", "tukey"):
             raise ValueError(f"unknown robust_loss {self.robust_loss!r}")
-        if self.pallas_mode not in ("packed6", "highest"):
+        if self.pallas_mode not in ("packed6", "highest", "packed6_idx"):
             raise ValueError(f"unknown pallas_mode {self.pallas_mode!r}")
         if self.morton_rescue < 0:
             raise ValueError("morton_rescue must be >= 0")
@@ -313,7 +316,9 @@ def _correspondences(points, target, target_mask, target_normals,
 
             from ..ops.morton_pallas import morton_nn_pallas
 
-            nn_fn = _ft.partial(morton_nn_pallas, mode=config.pallas_mode)
+            band_mode = ("packed6" if config.pallas_mode == "packed6_idx"
+                         else config.pallas_mode)
+            nn_fn = _ft.partial(morton_nn_pallas, mode=band_mode)
         else:
             from ..ops.morton import morton_nn as nn_fn
 

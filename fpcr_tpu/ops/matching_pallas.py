@@ -33,6 +33,21 @@ Design:
   instead laid out ALONG K — the six bf16x6 term pairs of triple-split
   operands as one K=48 bf16 matmul. Same f32-grade distances, one-pass
   cost.
+* **Packed (value|index) reduction (round-5, opt-in ``packed6_idx``)**:
+  nonneg-f32 distance bits are order-preserving as int32, so splicing the
+  global column index into the low mantissa bits collapses min+argmin
+  into ONE int32 min — the round-5 ablation (scripts/exp_reduction2.py on
+  hardware) measured the matmul + a single reduction pass at 0.395 ms
+  @16k vs 0.45 for min+argmin+update, and that single pass is the
+  kernel's floor (restructured two-stage/lane-parallel reductions all
+  measured slower). Selection quantization: the dropped
+  ``log2(m_pad)`` mantissa bits bound near-tie swaps at ~2^-(23-bits)
+  relative sqdist (2e-3 at 16k) — the same class of ties packed6 itself
+  swaps, and returned distances are recomputed exactly against the
+  selected target outside the kernel. The bound is RELATIVE: on a
+  displaced cloud whose NN plateaus hold many candidates within 0.2%,
+  a few % of rows pick a different (equivalent-quality) candidate —
+  GT-recovery parity is asserted on hardware (tpu_smoke check 1b).
 
 Measured (v5e, slope method with separate min-of-k legs, N=M=16,384):
 **0.47 ms** standalone (packed6) vs 2.22 ms for the HIGHEST kernel and
@@ -86,6 +101,30 @@ def _matching_kernel(p_ref, qT_ref, best_d_ref, best_i_ref, *,
     better = local_min < best_d_ref[:]  # strict: earlier tile wins ties
     best_d_ref[:] = jnp.where(better, local_min, best_d_ref[:])
     best_i_ref[:] = jnp.where(better, global_arg, best_i_ref[:])
+
+
+def _packed_idx_kernel(p_ref, qT_ref, best_ref, *, idx_bits):
+    """min+argmin as ONE int32 min: global column index spliced into the
+    low ``idx_bits`` mantissa bits of the nonneg distance's bit pattern
+    (order-preserving for nonneg f32). The running best is the packed
+    word itself — unpacked outside the kernel."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        # f32 max-finite bit pattern: any real distance wins
+        best_ref[:] = jnp.full_like(best_ref, jnp.int32(0x7F7FFFFF))
+
+    d = jax.lax.dot_general(
+        p_ref[:], qT_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    bm = qT_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * bm
+    bits = jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0), jnp.int32)
+    packed = (bits & jnp.int32(~((1 << idx_bits) - 1))) | col
+    best_ref[:] = jnp.minimum(best_ref[:],
+                              jnp.min(packed, axis=1)[:, None])
 
 
 def _augment(p: jnp.ndarray, q: jnp.ndarray, q_mask: Optional[jnp.ndarray],
@@ -179,20 +218,32 @@ def nn_argmin_pallas(
         CUDA kernel — 4.7x (bench_results/match_ladder_tpu.csv, round 3).
       * ``"highest"`` — bit-exact HIGHEST-precision dot (the round-1
         kernel; strict first-min tie semantics against f32 distances).
+      * ``"packed6_idx"`` — packed6 operands with the round-5 packed
+        (value|index) reduction: min+argmin collapse into ONE int32 min
+        per tile (the measured kernel floor, 0.395 ms @16k vs 0.45 for
+        the separate reductions — scripts/exp_reduction2.py). Index
+        selection may swap near-ties within ~2^-(23-log2(m_pad))
+        relative sqdist (2e-3 at 16k); returned distances are recomputed
+        exactly against the selected target. Requires m_pad <= 2^16.
 
     Returns ``(idx int32[N], sqdist float32[N])``.
     """
-    if mode not in ("packed6", "highest"):
+    if mode not in ("packed6", "highest", "packed6_idx"):
         raise ValueError(f"unknown mode {mode!r}")
     n, m = p.shape[0], q.shape[0]
     bn = min(block_n, round_up(n, 8))
     bm = min(block_m, round_up(m, 128))
     n_pad = round_up(n, bn)
     m_pad = round_up(m, bm)
+    if mode == "packed6_idx" and m_pad > (1 << 16):
+        raise ValueError(
+            f"mode='packed6_idx' supports m_pad <= 2^16 (got {m_pad}): "
+            "beyond that the index bits eat too much mantissa — use the "
+            "morton matcher at that scale")
 
     p_hat, qT = _augment(p, q, q_mask, n_pad, m_pad)
 
-    if mode == "packed6":
+    if mode in ("packed6", "packed6_idx"):
         ph, pm, plo = _split3(p_hat)
         qh, qm, qlo = _split3(qT)
         pairs = [(ph, qh), (ph, qm), (pm, qh), (ph, qlo), (plo, qh),
@@ -209,6 +260,45 @@ def nn_argmin_pallas(
         interpret = jax.devices()[0].platform != "tpu"
 
     grid = (n_pad // bn, m_pad // bm)
+    cost = pl.CostEstimate(
+        flops=2 * n_pad * m_pad * kk + 2 * n_pad * m_pad,
+        bytes_accessed=(n_pad * kk * 4 * (m_pad // bm)
+                        + m_pad * kk * 4 * (n_pad // bn)
+                        + n_pad * 8),
+        transcendentals=0,
+    )
+
+    if mode == "packed6_idx":
+        idx_bits = max(1, (m_pad - 1).bit_length())
+        packed = pl.pallas_call(
+            functools.partial(_packed_idx_kernel, idx_bits=idx_bits),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bn, kk), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kk, bm), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bn, 1), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(p_in, q_in)[:n, 0]
+        idx = packed & jnp.int32((1 << idx_bits) - 1)
+        d_q = jax.lax.bitcast_convert_type(
+            packed & jnp.int32(~((1 << idx_bits) - 1)), jnp.float32)
+        # exact distance against the SELECTED target (quantization only
+        # ever affects near-tie index picks, never the reported distance);
+        # the surrogate/no-valid-target check runs on the quantized value,
+        # where masked targets still carry their ~1e30 signature
+        diff = p.astype(jnp.float32) - q.astype(jnp.float32)[idx]
+        d_exact = jnp.sum(diff * diff, axis=1)
+        return idx, jnp.where(d_q >= _INVALID_SURROGATE * 0.5, jnp.inf,
+                              d_exact)
+
     best_d, best_i = pl.pallas_call(
         functools.partial(_matching_kernel, precision=precision),
         grid=grid,
@@ -230,13 +320,7 @@ def nn_argmin_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * m_pad * kk + 2 * n_pad * m_pad,
-            bytes_accessed=(n_pad * kk * 4 * (m_pad // bm)
-                            + m_pad * kk * 4 * (n_pad // bn)
-                            + n_pad * 8),
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(p_in, q_in)
 

@@ -10,6 +10,8 @@ speed) on real hardware. Exit nonzero on any regression.
 Checks:
   1. packed6 vs highest Pallas brute matcher: argmin agreement (near-tie
      swaps allowed only when the extra squared distance is negligible);
+  1b. packed6_idx (round-5 packed value|index reduction): near-tie bound
+     + exact recomputed distances;
   2. Bunny point + plane GT recovery through run_icp (parity contract);
   3. hall scan (strict reference ordering) plane GT recovery;
   4. morton banded vs exact matcher: same recovered transform;
@@ -85,6 +87,36 @@ def main() -> int:
     check("packed6 distance accuracy",
           float(np.max(np.abs(d_pk - d_hi))) < 1e-4,
           f"max |d| err={float(np.max(np.abs(d_pk - d_hi))):.2e}")
+
+    # --- 1b. packed (value|index) reduction mode (round 5) -------------
+    # The selection quantization is RELATIVE (idx_bits=14 at m_pad=16384
+    # drops 14 mantissa bits -> 2^-9 of the distance): on the displaced
+    # reference scene (NN sqdist ~0.1-1) plateaus of near-equal candidates
+    # produce a few % of swaps, EACH within 2^-9 relative of the true
+    # minimum. First hardware run measured swaps=687/16384, max relative
+    # excess 2.0e-3 — the bound, not a bug; assert the bound, then assert
+    # the operative guarantee: full-ICP GT recovery with the mode on.
+    i_px, d_px = nn_argmin_pallas(src, tgt, None, mode="packed6_idx")
+    i_px, d_px = np.asarray(i_px), np.asarray(d_px)
+    swaps_px = i_px != i_hi
+    rel_px = 0.0
+    if swaps_px.any():
+        d_true = ((src_np[swaps_px] - tgt_np[i_hi[swaps_px]]) ** 2).sum(1)
+        d_got = ((src_np[swaps_px] - tgt_np[i_px[swaps_px]]) ** 2).sum(1)
+        rel_px = float(np.max((d_got - d_true) / np.maximum(d_true, 1e-12)))
+    d_sel = ((src_np - tgt_np[i_px]) ** 2).sum(1)
+    check("packed6_idx quantization bound",
+          swaps_px.mean() < 0.08 and rel_px < 2.0 ** -9 * 4
+          and float(np.max(np.abs(d_px - d_sel)
+                           / np.maximum(d_sel, 1.0))) < 1e-5,
+          f"swaps={int(swaps_px.sum())}/{swaps_px.size}, "
+          f"max rel excess={rel_px:.2e}")
+    res_px = f.run_icp(src, tgt, f.ICPConfig(
+        matcher="pallas", pallas_mode="packed6_idx", max_iterations=40))
+    err_px = float(f.transform_rmse(res_px.transform, scene.ground_truth,
+                                    src))
+    check("packed6_idx ICP GT recovery", err_px < 1e-5,
+          f"err={err_px:.2e}")
 
     # --- 2. Bunny GT recovery ------------------------------------------
     from fpcr_tpu.data.bunny import bunny_scene

@@ -108,3 +108,62 @@ def test_pallas_all_masked_target_returns_inf(clouds):
 
     _, d_ref = nn_argmin(jnp.asarray(p), jnp.asarray(q), jnp.asarray(mask))
     assert np.isinf(np.asarray(d_ref)).all()
+
+def test_packed6_idx_matches_exact(clouds):
+    """The round-5 packed (value|index) reduction: identical picks away
+    from ties; swaps only within the quantization bound (2^-(23-idx_bits)
+    relative sqdist); distances recomputed exactly for the selected
+    target."""
+    p, q = clouds
+    jp, jq = jnp.asarray(p), jnp.asarray(q)
+    i_ref, d_ref = nn_argmin_pallas(jp, jq, block_n=64, block_m=128,
+                                    mode="highest")
+    i_pk, d_pk = nn_argmin_pallas(jp, jq, block_n=64, block_m=128,
+                                  mode="packed6_idx")
+    i_ref, d_ref = np.asarray(i_ref), np.asarray(d_ref)
+    i_pk, d_pk = np.asarray(i_pk), np.asarray(d_pk)
+    diff = i_pk != i_ref
+    # quantization-class swaps only: selected distance within the dropped-
+    # mantissa bound of the true minimum (idx_bits=9 for m_pad=512)
+    assert diff.mean() < 0.02
+    if diff.any():
+        rel = (d_pk[diff] - d_ref[diff]) / np.maximum(d_ref[diff], 1e-12)
+        assert rel.max() < 2.0 ** -(23 - 9) * 4
+    # returned distance is the EXACT distance to the selected target
+    d_sel = ((p - q[i_pk]) ** 2).sum(1)
+    np.testing.assert_allclose(d_pk, d_sel, rtol=1e-6, atol=1e-7)
+
+
+def test_packed6_idx_masked_and_all_masked(clouds):
+    p, q = clouds
+    mask = np.ones(q.shape[0], bool)
+    mask[200:] = False
+    idx, d = nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q),
+                              jnp.asarray(mask), block_n=64, block_m=128,
+                              mode="packed6_idx")
+    assert int(np.asarray(idx).max()) < 200
+    none = np.zeros(q.shape[0], bool)
+    _, d0 = nn_argmin_pallas(jnp.asarray(p), jnp.asarray(q),
+                             jnp.asarray(none), block_n=64, block_m=128,
+                             mode="packed6_idx")
+    assert np.isinf(np.asarray(d0)).all()
+
+
+def test_packed6_idx_scale_gate():
+    p = jnp.zeros((8, 3), jnp.float32)
+    q = jnp.zeros((70000, 3), jnp.float32)
+    with pytest.raises(ValueError, match="packed6_idx"):
+        nn_argmin_pallas(p, q, mode="packed6_idx")
+
+
+def test_packed6_idx_in_icp_loop():
+    import fpcr_tpu as f
+
+    scene = f.synthetic_scene(width=16)
+    res = f.icp_point_to_point(
+        scene.source, scene.target,
+        config=f.ICPConfig(max_iterations=60, matcher="pallas",
+                           pallas_mode="packed6_idx"),
+    )
+    assert float(f.transform_rmse(res.transform, scene.ground_truth,
+                                  scene.source)) < 1e-4
