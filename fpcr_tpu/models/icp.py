@@ -316,9 +316,9 @@ def _correspondences(points, target, target_mask, target_normals,
 
             from ..ops.morton_pallas import morton_nn_pallas
 
-            band_mode = ("packed6" if config.pallas_mode == "packed6_idx"
-                         else config.pallas_mode)
-            nn_fn = _ft.partial(morton_nn_pallas, mode=band_mode)
+            # pallas_mode maps 1:1 — the band kernel gained its own
+            # packed (value|index) reduction in round 5
+            nn_fn = _ft.partial(morton_nn_pallas, mode=config.pallas_mode)
         else:
             from ..ops.morton import morton_nn as nn_fn
 

@@ -327,17 +327,14 @@ def band_quality_probe(
     p_s = jnp.take(p, rows, axis=0)
     d_band_s = np.asarray(jnp.take(d_band, rows))
 
+    # streaming exact NN (never O(sample·M) HBM — a dense [sample, M]
+    # matrix is 17 GB at M=1M, measured RESOURCE_EXHAUSTED on-chip)
+    from .matching import nn_argmin
+
     q = table.points_sorted
-    q_sq = jnp.sum(q * q, axis=1)
     valid = jnp.arange(q.shape[0]) < table.valid_count
-    q_sq = jnp.where(valid, q_sq, jnp.inf)
-    d_full = (jnp.sum(p_s * p_s, axis=1)[:, None]
-              - 2.0 * jax.lax.dot_general(
-                  p_s, q,
-                  dimension_numbers=(((1,), (1,)), ((), ())),
-                  precision=jax.lax.Precision.HIGHEST)
-              + q_sq[None, :])
-    d_exact = np.asarray(jnp.maximum(jnp.min(d_full, axis=1), 0.0))
+    _, d_exact = nn_argmin(p_s, q, q_mask=valid, exact=True)
+    d_exact = np.asarray(jnp.maximum(d_exact, 0.0))
 
     # scale-aware noise floors (same reasoning as tune_morton's probe):
     # f32 expansion-form disagreement scales with |p|²; damaging scales

@@ -103,7 +103,8 @@ def _pack3(xT: jnp.ndarray) -> jnp.ndarray:
 
 
 def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool,
-                         packed: bool):
+                         packed: bool, packed_idx: bool = False,
+                         idx_bits: int = 0):
     def kernel(*refs):
         if with_extra:
             (bases_ref, pt_ref, q_hbm, e_hbm,
@@ -155,8 +156,26 @@ def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool,
             # inside the matmul (q̂'s ones row picks up p̂'s |p|² row).
             # packed: ONE K=96 bf16 pass (f32-grade); else ~6 HIGHEST passes
 
-            arg = jnp.argmin(d, axis=0).astype(jnp.int32)  # [chunk]
-            dmin = jnp.min(d, axis=0)
+            if packed_idx:
+                # packed (value|index) reduction (round-5, from the brute
+                # matcher's measured floor study): nonneg-f32 bits are
+                # order-preserving as int32, so splicing the band row into
+                # the low idx_bits mantissa bits collapses min+argmin into
+                # ONE int32 min pass — the [band, chunk] tile streams
+                # through the VPU once instead of twice. Selection
+                # quantization (~2^-(23-idx_bits) relative) only swaps
+                # near-ties; exact distances are recomputed outside
+                # against the selected (extracted) target.
+                bits = jax.lax.bitcast_convert_type(
+                    jnp.maximum(d, 0.0), jnp.int32)
+                pk = (bits & jnp.int32(~((1 << idx_bits) - 1))) | row_iota
+                pmin = jnp.min(pk, axis=0)  # [chunk] — the single pass
+                arg = pmin & jnp.int32((1 << idx_bits) - 1)
+                dmin = jax.lax.bitcast_convert_type(
+                    pmin & jnp.int32(~((1 << idx_bits) - 1)), jnp.float32)
+            else:
+                arg = jnp.argmin(d, axis=0).astype(jnp.int32)  # [chunk]
+                dmin = jnp.min(d, axis=0)
             onehot_dtype = jnp.bfloat16 if packed else jnp.float32
             onehot = (row_iota == arg[None, :]).astype(onehot_dtype)
             matched_all = jax.lax.dot_general(
@@ -223,11 +242,17 @@ def morton_nn_pallas(
     ``mode="packed6"`` (default) uses the K-packed bf16x6 layout: one K=96
     bf16 MXU pass for the band distances (f32-grade, see module docstring)
     and EXACT one-hot extraction via bf16 slab sums; ``mode="highest"``
-    keeps the round-1 bit-exact f32 kernel.
+    keeps the round-1 bit-exact f32 kernel. ``mode="packed6_idx"``
+    (opt-in) additionally collapses the per-chunk min+argmin into ONE
+    int32 min over packed (value|index) words — one fewer VPU pass over
+    every [band, chunk] tile; returned distances are recomputed exactly
+    against the selected target, selection may swap near-ties within
+    ~2^-(23-log2(band)) relative (same class packed6 itself swaps).
     """
-    if mode not in ("packed6", "highest"):
+    if mode not in ("packed6", "highest", "packed6_idx"):
         raise ValueError(f"unknown mode {mode!r}")
-    packed = mode == "packed6"
+    packed = mode in ("packed6", "packed6_idx")
+    packed_idx = mode == "packed6_idx"
     n = p.shape[0]
     p = p.astype(jnp.float32)
 
@@ -285,7 +310,12 @@ def morton_nn_pallas(
         interpret = jax.devices()[0].platform != "tpu"
 
     with_extra = e_hat_t is not None
-    kernel = _band_kernel_factory(chunk, band, u, with_extra, packed)
+    # packed-idx: the spliced index addresses band rows, so idx_bits is
+    # set by the (static) band height, not the table size — 10 bits at
+    # the production band of 768 (quantization ~2^-13 relative)
+    idx_bits = max(1, (band - 1).bit_length()) if packed_idx else 0
+    kernel = _band_kernel_factory(chunk, band, u, with_extra, packed,
+                                  packed_idx, idx_bits)
 
     if packed:
         p_hat_t = _pack6(p_hat_t, 0)  # [96, n_pad] bf16
@@ -357,5 +387,14 @@ def morton_nn_pallas(
 
     matched = matched_q.transpose(0, 2, 1).reshape(n_pad, _SUBLANES)[:n, :3]
     dmin = jnp.maximum(best_d.reshape(n_pad)[:n], 0.0)
+    if packed_idx:
+        # exact distance against the SELECTED target (the in-kernel value
+        # lost idx_bits of mantissa to the index splice); the surrogate
+        # check runs on the quantized value, where masked/padded band rows
+        # still carry their ~1e30 signature (extracted coords there are
+        # zeros, which would fake a small distance)
+        diff = p - matched
+        d_exact = jnp.sum(diff * diff, axis=1)
+        dmin = jnp.where(dmin >= _INVALID_SURROGATE * 0.5, dmin, d_exact)
     idx_sorted = jnp.clip(best_i.reshape(n_pad)[:n], 0, m - 1)
     return matched, dmin, idx_sorted, matched_e

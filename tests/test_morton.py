@@ -335,6 +335,41 @@ def test_morton_pallas_packed6_matches_highest():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_morton_pallas_packed6_idx_matches_packed6():
+    """packed6_idx band kernel (round-5 packed (value|index) single-pass
+    reduction) agrees with packed6: selections may swap only genuine
+    near-ties (identical distances within the 2^-(23-log2(band)) relative
+    quantization bound), extracted coordinates match the selected rows,
+    and returned distances are EXACT (recomputed outside the kernel).
+    Cites morton_pallas.py mode='packed6_idx'."""
+    from fpcr_tpu.ops.morton_pallas import morton_nn_pallas
+
+    rng = np.random.default_rng(23)
+    q = rng.uniform(-2, 2, (4096, 3)).astype(np.float32)
+    p = (q + rng.normal(scale=0.002, size=q.shape)).astype(np.float32)
+    table = build_morton_table(jnp.asarray(q))
+    order = source_morton_order(jnp.asarray(p), table)
+    ps = jnp.take(jnp.asarray(p), order, axis=0)
+    extra = table.points_sorted * 0.5
+
+    mp, dp, ip, ep = morton_nn_pallas(ps, table, extra=extra, mode="packed6")
+    mi, di, ii, ei = morton_nn_pallas(ps, table, extra=extra,
+                                      mode="packed6_idx")
+    same = np.asarray(ip) == np.asarray(ii)
+    # swapped rows are near-ties: distances agree within the relative
+    # quantization bound (band=768 -> 10 idx bits -> ~2^-13 ≈ 1.3e-4)
+    np.testing.assert_allclose(np.asarray(di), np.asarray(dp),
+                               rtol=3e-4, atol=2e-5)
+    assert float(same.mean()) > 0.99
+    # extracted coords are consistent with the packed6_idx selection:
+    # exact recomputed distance equals |p - matched|^2 by construction,
+    # and matches the table row the index points at
+    sel = np.asarray(table.points_sorted)[np.clip(np.asarray(ii), 0,
+                                                  q.shape[0] - 1)]
+    np.testing.assert_allclose(np.asarray(mi), sel, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ei), sel * 0.5, atol=1e-6)
+
+
 def test_morton_pallas_mode_validated():
     from fpcr_tpu.ops.morton_pallas import morton_nn_pallas
 
