@@ -60,8 +60,11 @@ def study(width: int, time_it: bool) -> None:
 
     for mode in MODES:
         def make_run(iters, mode=mode):
+            # production band geometry (c=512/w=64): the committed-ladder
+            # config and the round-5 geometry study's measured frontier
             cfg = f.ICPConfig(matcher="morton", max_iterations=iters,
-                              tolerance=0.0, pallas_mode=mode)
+                              tolerance=0.0, pallas_mode=mode,
+                              morton_chunk=512, morton_window=64)
             def run(s, t):
                 return f.run_icp(s, t, cfg)
             float(run(src, tgt).errors[-1])  # compile+warm
