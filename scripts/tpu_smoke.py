@@ -26,7 +26,9 @@ Checks:
   10. the 259k wide-plane cloud that stresses the fused-NDT band-coverage
      policy (VERDICT r4 weak #3): asserts _resolve_fused's choice, fused
      count parity vs the gather oracle at the chosen window, and
-     end-to-end GT recovery + matched_fraction on hardware.
+     end-to-end GT recovery + matched_fraction on hardware;
+  11. band-kernel packed6_idx (round 5): in-kernel bitcast/int-min packed
+     reduction parity vs packed6 + morton ICP GT recovery (check 1c).
 
 Run: python scripts/tpu_smoke.py   (on the TPU; ~a few min incl. compiles)
 or:  python bench.py --smoke       (probe -> smoke -> bench -> artifacts)
@@ -117,6 +119,36 @@ def main() -> int:
                                     src))
     check("packed6_idx ICP GT recovery", err_px < 1e-5,
           f"err={err_px:.2e}")
+
+    # --- 1c. band-kernel packed6_idx (round 5) --------------------------
+    # Covers the Mosaic lowering of the in-kernel bitcast/int-min packed
+    # reduction, which CPU interpret mode cannot. Morton is a local
+    # refiner, so GT here is a small displacement (the matcher's basin).
+    from fpcr_tpu.ops.morton import build_morton_table, source_morton_order
+    from fpcr_tpu.ops.morton_pallas import morton_nn_pallas
+
+    gt_sm = f.gt_transform((0.004, -0.002, 0.003), (0.002, -0.003, 0.002))
+    tgt_sm = gt_sm.apply(src)
+    tb = build_morton_table(tgt_sm)
+    ps = jnp.take(src, source_morton_order(src, tb), axis=0)
+    _, d_b6, i_b6, _ = morton_nn_pallas(ps, tb, mode="packed6")
+    m_bx, d_bx, i_bx, _ = morton_nn_pallas(ps, tb, mode="packed6_idx")
+    ps_np = np.asarray(ps)
+    d_resel = ((ps_np - np.asarray(m_bx)) ** 2).sum(1)
+    band_swaps = np.asarray(i_b6) != np.asarray(i_bx)
+    check("band packed6_idx parity",
+          band_swaps.mean() < 0.02
+          and float(np.max(np.abs(np.asarray(d_bx) - d_resel))) < 1e-5
+          and float(np.max(np.abs(np.asarray(d_bx) - np.asarray(d_b6))
+                           / np.maximum(np.asarray(d_b6), 1.0))) < 2e-3,
+          f"swaps={int(band_swaps.sum())}/{band_swaps.size}")
+    res_bx = f.run_icp(src, tgt_sm, f.ICPConfig(
+        matcher="morton", pallas_mode="packed6_idx", morton_impl="pallas",
+        morton_chunk=512, morton_window=64, max_iterations=30,
+        tolerance=0.0))
+    err_bx = float(f.transform_rmse(res_bx.transform, gt_sm, src))
+    check("band packed6_idx ICP GT recovery", err_bx < 1e-5,
+          f"err={err_bx:.2e}")
 
     # --- 2. Bunny GT recovery ------------------------------------------
     from fpcr_tpu.data.bunny import bunny_scene
