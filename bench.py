@@ -57,10 +57,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # _load_committed() re-reads the artifact at runtime — these constants only
 # back it up if the artifact itself is unreadable.
 LAST_COMMITTED = {
-    "point_ms_per_iter_16384": 0.5033,
-    "plane_ms_per_iter_16384": 0.5182,
+    "point_ms_per_iter_16384": 0.5978,
+    "plane_ms_per_iter_16384": 0.5277,
     "source": "bench_results/tpu_report.json icp_ladder_16384.pallas "
-              "(TPU, round 5, 2026-08-19)",
+              "(TPU, round 5 final refresh, 2026-08-19; session clock "
+              "spread 0.50-0.60)",
 }
 
 
