@@ -119,7 +119,8 @@ class ICPConfig:
             raise ValueError(f"unknown matcher {self.matcher!r}")
         if self.robust_loss not in (None, "huber", "tukey"):
             raise ValueError(f"unknown robust_loss {self.robust_loss!r}")
-        if self.pallas_mode not in ("packed6", "highest", "packed6_idx"):
+        if self.pallas_mode not in ("packed6", "highest", "packed6_idx",
+                                    "packed6_pipe"):
             raise ValueError(f"unknown pallas_mode {self.pallas_mode!r}")
         if self.morton_rescue < 0:
             raise ValueError("morton_rescue must be >= 0")
@@ -179,8 +180,11 @@ def _match(points, target, target_mask, config: ICPConfig, matcher_state=None):
     if config.matcher == "pallas":
         from ..ops.matching_pallas import nn_argmin_pallas
 
-        idx, d = nn_argmin_pallas(points, target, target_mask,
-                                  mode=config.pallas_mode)
+        # packed6_pipe is a band-kernel-only schedule (the brute kernel's
+        # grid already pipelines source×target tiles) — same math
+        mode = ("packed6" if config.pallas_mode == "packed6_pipe"
+                else config.pallas_mode)
+        idx, d = nn_argmin_pallas(points, target, target_mask, mode=mode)
         return idx, d, None
     if config.matcher == "grid":
         from ..ops.grid import grid_nn

@@ -102,6 +102,103 @@ def _pack3(xT: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _band_kernel_pipelined_factory(chunk: int, band: int, unroll: int,
+                                   with_extra: bool):
+    """Software-pipelined packed6 variant (``mode='packed6_pipe'``).
+
+    The production kernel's per-chunk chain is matmul(MXU) → argmin(VPU)
+    → one-hot(VPU) → extract(MXU), fully sequential within a chunk — the
+    roofline puts the measured iteration ~3× above the overlapped
+    MXU/VPU floor. This variant stages the distance matmul ONE chunk
+    ahead of the reduce/extract through an explicit 2-slot VMEM d-buffer,
+    so each pipeline step presents Mosaic with adjacent INDEPENDENT work:
+    the matmul of chunk j+1 and the reduction of chunk j. Band DMAs use
+    4 slots (bands j-1..j+2 live simultaneously: extract, matmul, in-
+    flight, start). Per-chunk math is identical to packed6 — outputs are
+    bit-identical (parity test in tests/test_morton.py).
+    """
+    def kernel(*refs):
+        if with_extra:
+            (bases_ref, pt_ref, q_hbm, e_hbm,
+             out_d, out_i, out_q, out_e, qbuf, ebuf, dbuf,
+             sems, esems) = refs
+        else:
+            (bases_ref, pt_ref, q_hbm,
+             out_d, out_i, out_q, qbuf, dbuf, sems) = refs
+        g = pl.program_id(0)
+
+        def q_dma(slot, j):
+            base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
+            return pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(base, band)], qbuf.at[slot], sems.at[slot]
+            )
+
+        if with_extra:
+            def e_dma(slot, j):
+                base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
+                return pltpu.make_async_copy(
+                    e_hbm.at[:, pl.ds(base, band)], ebuf.at[slot],
+                    esems.at[slot]
+                )
+
+        for j in range(min(2, unroll)):
+            q_dma(j % 4, j).start()
+            if with_extra:
+                e_dma(j % 4, j).start()
+
+        row_iota = lax.broadcasted_iota(jnp.int32, (band, chunk), 0)
+
+        for j in range(unroll + 1):  # static: straight-line pipeline
+            if j < unroll:
+                slot = j % 4
+                q_dma(slot, j).wait()
+                if with_extra:
+                    e_dma(slot, j).wait()
+                if j + 2 < unroll:
+                    q_dma((j + 2) % 4, j + 2).start()
+                    if with_extra:
+                        e_dma((j + 2) % 4, j + 2).start()
+                cols = pl.ds(j * chunk, chunk)
+                dbuf[j % 2] = jax.lax.dot_general(
+                    qbuf[slot], pt_ref[:, cols],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [band, chunk] — chunk j's distances, consumed at j+1
+            if j > 0:
+                jp = j - 1
+                sp = jp % 4
+                d = dbuf[jp % 2]
+                arg = jnp.argmin(d, axis=0).astype(jnp.int32)
+                dmin = jnp.min(d, axis=0)
+                onehot = (row_iota == arg[None, :]).astype(jnp.bfloat16)
+                matched_all = jax.lax.dot_general(
+                    qbuf[sp], onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                r0, r1, r2 = _Q_SLAB_ROWS
+                matched_q = (matched_all[r0:r0 + _SUBLANES]
+                             + matched_all[r1:r1 + _SUBLANES]
+                             + matched_all[r2:r2 + _SUBLANES])
+                base = bases_ref[g * unroll + jp]
+                out_d[pl.ds(jp, 1), :] = dmin[None, :]
+                out_i[pl.ds(jp, 1), :] = (base + arg)[None, :]
+                out_q[pl.ds(jp, 1), :, :] = matched_q[None, :, :]
+                if with_extra:
+                    matched_e_all = jax.lax.dot_general(
+                        ebuf[sp], onehot,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    matched_e = (matched_e_all[0:_SUBLANES]
+                                 + matched_e_all[_GROUP:_GROUP + _SUBLANES]
+                                 + matched_e_all[2 * _GROUP:
+                                                 2 * _GROUP + _SUBLANES])
+                    out_e[pl.ds(jp, 1), :, :] = matched_e[None, :, :]
+
+    return kernel
+
+
 def _band_kernel_factory(chunk: int, band: int, unroll: int, with_extra: bool,
                          packed: bool, packed_idx: bool = False,
                          idx_bits: int = 0):
@@ -248,11 +345,16 @@ def morton_nn_pallas(
     every [band, chunk] tile; returned distances are recomputed exactly
     against the selected target, selection may swap near-ties within
     ~2^-(23-log2(band)) relative (same class packed6 itself swaps).
+    ``mode="packed6_pipe"`` (opt-in) is packed6 with the distance matmul
+    software-pipelined one chunk ahead of the reduce/extract — identical
+    math, bit-identical outputs, different Mosaic schedule (see
+    ``_band_kernel_pipelined_factory``).
     """
-    if mode not in ("packed6", "highest", "packed6_idx"):
+    if mode not in ("packed6", "highest", "packed6_idx", "packed6_pipe"):
         raise ValueError(f"unknown mode {mode!r}")
-    packed = mode in ("packed6", "packed6_idx")
+    packed = mode in ("packed6", "packed6_idx", "packed6_pipe")
     packed_idx = mode == "packed6_idx"
+    pipelined = mode == "packed6_pipe"
     n = p.shape[0]
     p = p.astype(jnp.float32)
 
@@ -314,8 +416,11 @@ def morton_nn_pallas(
     # set by the (static) band height, not the table size — 10 bits at
     # the production band of 768 (quantization ~2^-13 relative)
     idx_bits = max(1, (band - 1).bit_length()) if packed_idx else 0
-    kernel = _band_kernel_factory(chunk, band, u, with_extra, packed,
-                                  packed_idx, idx_bits)
+    if pipelined:
+        kernel = _band_kernel_pipelined_factory(chunk, band, u, with_extra)
+    else:
+        kernel = _band_kernel_factory(chunk, band, u, with_extra, packed,
+                                      packed_idx, idx_bits)
 
     if packed:
         p_hat_t = _pack6(p_hat_t, 0)  # [96, n_pad] bf16
@@ -344,9 +449,15 @@ def morton_nn_pallas(
         pl.BlockSpec((u, _SUBLANES, chunk), lambda g, *_: (g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    # pipelined: 4 band slots (bands j-1..j+2 live) + the 2-slot staged
+    # distance buffer; classic: 2-slot double buffer
+    n_slots = 4 if pipelined else 2
+    dstage = ([pltpu.VMEM((2, band, chunk), jnp.float32)] if pipelined
+              else [])
     scratch = [
-        pltpu.VMEM((2, p_rows, band), buf_dtype),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((n_slots, p_rows, band), buf_dtype),
+        *dstage,
+        pltpu.SemaphoreType.DMA((n_slots,)),
     ]
     operands = [p_hat_t, q_hat_t]
     if with_extra:
@@ -357,10 +468,11 @@ def morton_nn_pallas(
                                       lambda g, *_: (g, 0, 0),
                                       memory_space=pltpu.VMEM))
         scratch = [
-            pltpu.VMEM((2, p_rows, band), buf_dtype),
-            pltpu.VMEM((2, e_rows, band), buf_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, p_rows, band), buf_dtype),
+            pltpu.VMEM((n_slots, e_rows, band), buf_dtype),
+            *dstage,
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ]
         operands = [p_hat_t, q_hat_t, e_hat_t]
 

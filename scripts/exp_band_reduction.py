@@ -27,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 
 import fpcr_tpu as f  # noqa: E402
 
-MODES = ("packed6", "packed6_idx")
+MODES = ("packed6", "packed6_idx")  # default; override with --modes
 
 
 def slope_time(make_run, src, tgt, lo=5, hi=25, repeats=3):
@@ -51,14 +51,14 @@ def slope_time(make_run, src, tgt, lo=5, hi=25, repeats=3):
     return ms if ms > 0 else t_hi * 1e3 / hi
 
 
-def study(width: int, time_it: bool) -> None:
+def study(width: int, time_it: bool, modes=MODES) -> None:
     scene = f.synthetic_scene(width=width)
     n = scene.source.shape[0]
     gt = f.gt_transform((0.004, -0.002, 0.003), (0.002, -0.003, 0.002))
     src = jax.device_put(scene.source)
     tgt = jax.device_put(gt.apply(scene.source))
 
-    for mode in MODES:
+    for mode in modes:
         def make_run(iters, mode=mode):
             # production band geometry (c=512/w=64): the committed-ladder
             # config and the round-5 geometry study's measured frontier
@@ -86,13 +86,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="512,1024",
                     help="comma-separated grid widths (n = width²)")
+    ap.add_argument("--modes", default=",".join(MODES),
+                    help="comma-separated pallas_mode values to A/B")
     args = ap.parse_args()
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
         print(json.dumps({"note": "not on TPU: GT gates only, timings "
                                   "suppressed"}), flush=True)
     for w in (int(x) for x in args.sizes.split(",")):
-        study(w, time_it=on_tpu)
+        study(w, time_it=on_tpu, modes=tuple(args.modes.split(",")))
     return 0
 
 

@@ -370,6 +370,33 @@ def test_morton_pallas_packed6_idx_matches_packed6():
     np.testing.assert_allclose(np.asarray(ei), sel * 0.5, atol=1e-6)
 
 
+def test_morton_pallas_packed6_pipe_bit_identical():
+    """packed6_pipe (software-pipelined schedule) performs IDENTICAL math
+    to packed6 — outputs must be bit-identical, including the unroll
+    pipeline edges (first/last chunk of each grid step).
+    Cites morton_pallas.py mode='packed6_pipe'."""
+    from fpcr_tpu.ops.morton_pallas import morton_nn_pallas
+
+    rng = np.random.default_rng(29)
+    q = rng.uniform(-2, 2, (4096, 3)).astype(np.float32)
+    p = (q + rng.normal(scale=0.002, size=q.shape)).astype(np.float32)
+    table = build_morton_table(jnp.asarray(q))
+    order = source_morton_order(jnp.asarray(p), table)
+    ps = jnp.take(jnp.asarray(p), order, axis=0)
+    extra = table.points_sorted * 0.5
+
+    for unroll in (1, 2, 8):
+        m6, d6, i6, e6 = morton_nn_pallas(ps, table, extra=extra,
+                                          mode="packed6", unroll=unroll)
+        mp, dp, ip, ep = morton_nn_pallas(ps, table, extra=extra,
+                                          mode="packed6_pipe",
+                                          unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(i6), np.asarray(ip))
+        np.testing.assert_array_equal(np.asarray(d6), np.asarray(dp))
+        np.testing.assert_array_equal(np.asarray(m6), np.asarray(mp))
+        np.testing.assert_array_equal(np.asarray(e6), np.asarray(ep))
+
+
 def test_morton_pallas_mode_validated():
     from fpcr_tpu.ops.morton_pallas import morton_nn_pallas
 
