@@ -120,7 +120,7 @@ class ICPConfig:
         if self.robust_loss not in (None, "huber", "tukey"):
             raise ValueError(f"unknown robust_loss {self.robust_loss!r}")
         if self.pallas_mode not in ("packed6", "highest", "packed6_idx",
-                                    "packed6_pipe"):
+                                    "packed6_pipe", "packed6_seq"):
             raise ValueError(f"unknown pallas_mode {self.pallas_mode!r}")
         if self.morton_rescue < 0:
             raise ValueError("morton_rescue must be >= 0")
@@ -180,9 +180,10 @@ def _match(points, target, target_mask, config: ICPConfig, matcher_state=None):
     if config.matcher == "pallas":
         from ..ops.matching_pallas import nn_argmin_pallas
 
-        # packed6_pipe is a band-kernel-only schedule (the brute kernel's
+        # pipe/seq are band-kernel-only schedules (the brute kernel's
         # grid already pipelines source×target tiles) — same math
-        mode = ("packed6" if config.pallas_mode == "packed6_pipe"
+        mode = ("packed6" if config.pallas_mode in ("packed6_pipe",
+                                                    "packed6_seq")
                 else config.pallas_mode)
         idx, d = nn_argmin_pallas(points, target, target_mask, mode=mode)
         return idx, d, None

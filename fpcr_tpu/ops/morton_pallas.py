@@ -338,23 +338,28 @@ def morton_nn_pallas(
 
     ``mode="packed6"`` (default) uses the K-packed bf16x6 layout: one K=96
     bf16 MXU pass for the band distances (f32-grade, see module docstring)
-    and EXACT one-hot extraction via bf16 slab sums; ``mode="highest"``
-    keeps the round-1 bit-exact f32 kernel. ``mode="packed6_idx"``
-    (opt-in) additionally collapses the per-chunk min+argmin into ONE
-    int32 min over packed (value|index) words — one fewer VPU pass over
-    every [band, chunk] tile; returned distances are recomputed exactly
-    against the selected target, selection may swap near-ties within
+    and EXACT one-hot extraction via bf16 slab sums, with the distance
+    matmul software-pipelined one chunk ahead of the reduce/extract
+    (round 5: bit-identical outputs, −4–6% on hardware at both production
+    sizes; ``"packed6_pipe"`` is an alias, ``"packed6_seq"`` keeps the
+    original double-buffered schedule for A/B). ``mode="highest"`` keeps
+    the round-1 bit-exact f32 kernel. ``mode="packed6_idx"`` (opt-in)
+    additionally collapses the per-chunk min+argmin into ONE int32 min
+    over packed (value|index) words — one fewer VPU pass over every
+    [band, chunk] tile; returned distances are recomputed exactly against
+    the selected target, selection may swap near-ties within
     ~2^-(23-log2(band)) relative (same class packed6 itself swaps).
-    ``mode="packed6_pipe"`` (opt-in) is packed6 with the distance matmul
-    software-pipelined one chunk ahead of the reduce/extract — identical
-    math, bit-identical outputs, different Mosaic schedule (see
-    ``_band_kernel_pipelined_factory``).
     """
-    if mode not in ("packed6", "highest", "packed6_idx", "packed6_pipe"):
+    if mode not in ("packed6", "highest", "packed6_idx", "packed6_pipe",
+                    "packed6_seq"):
         raise ValueError(f"unknown mode {mode!r}")
-    packed = mode in ("packed6", "packed6_idx", "packed6_pipe")
+    packed = mode != "highest"
     packed_idx = mode == "packed6_idx"
-    pipelined = mode == "packed6_pipe"
+    # the pipelined schedule IS packed6 (bit-identical math, measured
+    # faster at both production sizes — BENCH_NOTES round-5 pipe A/B);
+    # 'packed6_pipe' stays as an alias, 'packed6_seq' keeps the original
+    # double-buffered schedule for A/B
+    pipelined = mode in ("packed6", "packed6_pipe")
     n = p.shape[0]
     p = p.astype(jnp.float32)
 

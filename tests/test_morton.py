@@ -371,10 +371,11 @@ def test_morton_pallas_packed6_idx_matches_packed6():
 
 
 def test_morton_pallas_packed6_pipe_bit_identical():
-    """packed6_pipe (software-pipelined schedule) performs IDENTICAL math
-    to packed6 — outputs must be bit-identical, including the unroll
-    pipeline edges (first/last chunk of each grid step).
-    Cites morton_pallas.py mode='packed6_pipe'."""
+    """The software-pipelined schedule (the packed6 default since the
+    round-5 hardware A/B) performs IDENTICAL math to the original
+    double-buffered schedule (mode='packed6_seq') — outputs must be
+    bit-identical, including the unroll pipeline edges (first/last chunk
+    of each grid step). Cites morton_pallas.py mode='packed6'."""
     from fpcr_tpu.ops.morton_pallas import morton_nn_pallas
 
     rng = np.random.default_rng(29)
@@ -387,9 +388,9 @@ def test_morton_pallas_packed6_pipe_bit_identical():
 
     for unroll in (1, 2, 8):
         m6, d6, i6, e6 = morton_nn_pallas(ps, table, extra=extra,
-                                          mode="packed6", unroll=unroll)
+                                          mode="packed6_seq", unroll=unroll)
         mp, dp, ip, ep = morton_nn_pallas(ps, table, extra=extra,
-                                          mode="packed6_pipe",
+                                          mode="packed6",
                                           unroll=unroll)
         np.testing.assert_array_equal(np.asarray(i6), np.asarray(ip))
         np.testing.assert_array_equal(np.asarray(d6), np.asarray(dp))
