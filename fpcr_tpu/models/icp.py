@@ -120,7 +120,8 @@ class ICPConfig:
         if self.robust_loss not in (None, "huber", "tukey"):
             raise ValueError(f"unknown robust_loss {self.robust_loss!r}")
         if self.pallas_mode not in ("packed6", "highest", "packed6_idx",
-                                    "packed6_pipe", "packed6_seq"):
+                                    "packed6_pipe", "packed6_seq",
+                                    "packed6_pipe2"):
             raise ValueError(f"unknown pallas_mode {self.pallas_mode!r}")
         if self.morton_rescue < 0:
             raise ValueError("morton_rescue must be >= 0")
@@ -183,7 +184,8 @@ def _match(points, target, target_mask, config: ICPConfig, matcher_state=None):
         # pipe/seq are band-kernel-only schedules (the brute kernel's
         # grid already pipelines source×target tiles) — same math
         mode = ("packed6" if config.pallas_mode in ("packed6_pipe",
-                                                    "packed6_seq")
+                                                    "packed6_seq",
+                                                    "packed6_pipe2")
                 else config.pallas_mode)
         idx, d = nn_argmin_pallas(points, target, target_mask, mode=mode)
         return idx, d, None

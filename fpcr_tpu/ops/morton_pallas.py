@@ -103,19 +103,22 @@ def _pack3(xT: jnp.ndarray) -> jnp.ndarray:
 
 
 def _band_kernel_pipelined_factory(chunk: int, band: int, unroll: int,
-                                   with_extra: bool):
+                                   with_extra: bool, depth: int = 1):
     """Software-pipelined packed6 variant (``mode='packed6_pipe'``).
 
     The production kernel's per-chunk chain is matmul(MXU) → argmin(VPU)
     → one-hot(VPU) → extract(MXU), fully sequential within a chunk — the
     roofline puts the measured iteration ~3× above the overlapped
     MXU/VPU floor. This variant stages the distance matmul ONE chunk
-    ahead of the reduce/extract through an explicit 2-slot VMEM d-buffer,
-    so each pipeline step presents Mosaic with adjacent INDEPENDENT work:
-    the matmul of chunk j+1 and the reduction of chunk j. Band DMAs use
-    4 slots (bands j-1..j+2 live simultaneously: extract, matmul, in-
-    flight, start). Per-chunk math is identical to packed6 — outputs are
-    bit-identical (parity test in tests/test_morton.py).
+    ahead of the reduce/extract through an explicit VMEM d-buffer ring
+    (``depth + 1`` slots), so each pipeline step presents Mosaic with
+    adjacent INDEPENDENT work: the matmul of chunk j and the reduction of
+    chunk j−depth. Band DMAs use ``depth + 3`` slots (bands j−depth..j+2
+    live simultaneously: extract, staged matmuls, in-flight, start).
+    Per-chunk math is identical to packed6 — outputs are bit-identical
+    (parity test in tests/test_morton.py). depth=1 is the shipped
+    default (measured −4–6% on hardware); depth=2 is the experimental
+    ``mode='packed6_pipe2'``.
     """
     def kernel(*refs):
         if with_extra:
@@ -141,33 +144,35 @@ def _band_kernel_pipelined_factory(chunk: int, band: int, unroll: int,
                     esems.at[slot]
                 )
 
+        nslots = depth + 3
+        ndslots = depth + 1
         for j in range(min(2, unroll)):
-            q_dma(j % 4, j).start()
+            q_dma(j % nslots, j).start()
             if with_extra:
-                e_dma(j % 4, j).start()
+                e_dma(j % nslots, j).start()
 
         row_iota = lax.broadcasted_iota(jnp.int32, (band, chunk), 0)
 
-        for j in range(unroll + 1):  # static: straight-line pipeline
+        for j in range(unroll + depth):  # static: straight-line pipeline
             if j < unroll:
-                slot = j % 4
+                slot = j % nslots
                 q_dma(slot, j).wait()
                 if with_extra:
                     e_dma(slot, j).wait()
                 if j + 2 < unroll:
-                    q_dma((j + 2) % 4, j + 2).start()
+                    q_dma((j + 2) % nslots, j + 2).start()
                     if with_extra:
-                        e_dma((j + 2) % 4, j + 2).start()
+                        e_dma((j + 2) % nslots, j + 2).start()
                 cols = pl.ds(j * chunk, chunk)
-                dbuf[j % 2] = jax.lax.dot_general(
+                dbuf[j % ndslots] = jax.lax.dot_general(
                     qbuf[slot], pt_ref[:, cols],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [band, chunk] — chunk j's distances, consumed at j+1
-            if j > 0:
-                jp = j - 1
-                sp = jp % 4
-                d = dbuf[jp % 2]
+                )  # [band, chunk] — chunk j's distances, consumed at j+depth
+            if j >= depth:
+                jp = j - depth
+                sp = jp % nslots
+                d = dbuf[jp % ndslots]
                 arg = jnp.argmin(d, axis=0).astype(jnp.int32)
                 dmin = jnp.min(d, axis=0)
                 onehot = (row_iota == arg[None, :]).astype(jnp.bfloat16)
@@ -351,15 +356,17 @@ def morton_nn_pallas(
     ~2^-(23-log2(band)) relative (same class packed6 itself swaps).
     """
     if mode not in ("packed6", "highest", "packed6_idx", "packed6_pipe",
-                    "packed6_seq"):
+                    "packed6_seq", "packed6_pipe2"):
         raise ValueError(f"unknown mode {mode!r}")
     packed = mode != "highest"
     packed_idx = mode == "packed6_idx"
     # the pipelined schedule IS packed6 (bit-identical math, measured
     # faster at both production sizes — BENCH_NOTES round-5 pipe A/B);
     # 'packed6_pipe' stays as an alias, 'packed6_seq' keeps the original
-    # double-buffered schedule for A/B
-    pipelined = mode in ("packed6", "packed6_pipe")
+    # double-buffered schedule for A/B, 'packed6_pipe2' stages the matmul
+    # TWO chunks ahead (experimental)
+    pipelined = mode in ("packed6", "packed6_pipe", "packed6_pipe2")
+    pipe_depth = 2 if mode == "packed6_pipe2" else 1
     n = p.shape[0]
     p = p.astype(jnp.float32)
 
@@ -422,7 +429,8 @@ def morton_nn_pallas(
     # the production band of 768 (quantization ~2^-13 relative)
     idx_bits = max(1, (band - 1).bit_length()) if packed_idx else 0
     if pipelined:
-        kernel = _band_kernel_pipelined_factory(chunk, band, u, with_extra)
+        kernel = _band_kernel_pipelined_factory(chunk, band, u, with_extra,
+                                                pipe_depth)
     else:
         kernel = _band_kernel_factory(chunk, band, u, with_extra, packed,
                                       packed_idx, idx_bits)
@@ -454,11 +462,11 @@ def morton_nn_pallas(
         pl.BlockSpec((u, _SUBLANES, chunk), lambda g, *_: (g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    # pipelined: 4 band slots (bands j-1..j+2 live) + the 2-slot staged
-    # distance buffer; classic: 2-slot double buffer
-    n_slots = 4 if pipelined else 2
-    dstage = ([pltpu.VMEM((2, band, chunk), jnp.float32)] if pipelined
-              else [])
+    # pipelined: depth+3 band slots (bands j-depth..j+2 live) + the
+    # (depth+1)-slot staged distance buffer; classic: 2-slot double buffer
+    n_slots = (pipe_depth + 3) if pipelined else 2
+    dstage = ([pltpu.VMEM((pipe_depth + 1, band, chunk), jnp.float32)]
+              if pipelined else [])
     scratch = [
         pltpu.VMEM((n_slots, p_rows, band), buf_dtype),
         *dstage,
