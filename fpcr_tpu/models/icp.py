@@ -93,10 +93,13 @@ class ICPConfig:
     morton_impl: str = "auto"  # 'auto' (pallas on TPU) | 'xla' | 'pallas'
     # Pallas kernel precision for BOTH the brute and the Morton band
     # matchers: 'packed6' (K-packed bf16x6 — one MXU pass, f32-grade, the
-    # fast default) | 'highest' (bit-exact f32 dot; ~6 passes) |
-    # 'packed6_idx' (brute matcher only: packed value|index single-word
-    # reduction, the measured kernel floor — near-tie index swaps within
-    # ~2e-3 relative sqdist; the Morton matcher treats it as 'packed6')
+    # fast default; the band kernel runs it software-pipelined with a
+    # VMEM-budgeted auto stage depth) | 'highest' (bit-exact f32 dot; ~6
+    # passes) | 'packed6_idx' (packed value|index single-word reduction —
+    # the brute kernel's measured floor; near-tie index swaps within
+    # ~2e-3 relative sqdist) | 'packed6_seq'/'packed6_pipe'/'_pipe2'/
+    # '_pipe3' (band-kernel schedule pins for A/B — identical math; the
+    # brute matcher treats all of these as 'packed6')
     pallas_mode: str = "packed6"
     # 2 = also query a half-cell-shifted second curve and keep the closer
     # match (covers Morton seam misses; ~2x matching cost)
@@ -121,7 +124,7 @@ class ICPConfig:
             raise ValueError(f"unknown robust_loss {self.robust_loss!r}")
         if self.pallas_mode not in ("packed6", "highest", "packed6_idx",
                                     "packed6_pipe", "packed6_seq",
-                                    "packed6_pipe2"):
+                                    "packed6_pipe2", "packed6_pipe3"):
             raise ValueError(f"unknown pallas_mode {self.pallas_mode!r}")
         if self.morton_rescue < 0:
             raise ValueError("morton_rescue must be >= 0")
@@ -183,9 +186,8 @@ def _match(points, target, target_mask, config: ICPConfig, matcher_state=None):
 
         # pipe/seq are band-kernel-only schedules (the brute kernel's
         # grid already pipelines source×target tiles) — same math
-        mode = ("packed6" if config.pallas_mode in ("packed6_pipe",
-                                                    "packed6_seq",
-                                                    "packed6_pipe2")
+        mode = ("packed6" if config.pallas_mode.startswith(("packed6_pipe",
+                                                             "packed6_seq"))
                 else config.pallas_mode)
         idx, d = nn_argmin_pallas(points, target, target_mask, mode=mode)
         return idx, d, None

@@ -356,17 +356,16 @@ def morton_nn_pallas(
     ~2^-(23-log2(band)) relative (same class packed6 itself swaps).
     """
     if mode not in ("packed6", "highest", "packed6_idx", "packed6_pipe",
-                    "packed6_seq", "packed6_pipe2"):
+                    "packed6_seq", "packed6_pipe2", "packed6_pipe3"):
         raise ValueError(f"unknown mode {mode!r}")
     packed = mode != "highest"
     packed_idx = mode == "packed6_idx"
     # the pipelined schedule IS packed6 (bit-identical math, measured
-    # faster at both production sizes — BENCH_NOTES round-5 pipe A/B);
-    # 'packed6_pipe' stays as an alias, 'packed6_seq' keeps the original
-    # double-buffered schedule for A/B, 'packed6_pipe2' stages the matmul
-    # TWO chunks ahead (experimental)
-    pipelined = mode in ("packed6", "packed6_pipe", "packed6_pipe2")
-    pipe_depth = 2 if mode == "packed6_pipe2" else 1
+    # faster at both production sizes — BENCH_NOTES round-5 pipe A/Bs);
+    # 'packed6_pipe'/'packed6_pipe2'/'packed6_pipe3' pin the stage depth,
+    # 'packed6_seq' keeps the original double-buffered schedule for A/B
+    pipelined = mode in ("packed6", "packed6_pipe", "packed6_pipe2",
+                         "packed6_pipe3")
     n = p.shape[0]
     p = p.astype(jnp.float32)
 
@@ -429,9 +428,21 @@ def morton_nn_pallas(
     # the production band of 768 (quantization ~2^-13 relative)
     idx_bits = max(1, (band - 1).bit_length()) if packed_idx else 0
     if pipelined:
+        # stage depth: deeper staging measured −16% @262k and never worse
+        # (BENCH_NOTES round-5 pipe A/Bs), but each extra stage holds one
+        # more [band, chunk] f32 distance tile in VMEM — mode='packed6'
+        # auto-clamps so the d-ring stays ≤6 MiB (the "budget DOWN" VMEM
+        # lesson); explicit pipeN modes pin the depth for A/B
+        pipe_depth = {"packed6_pipe": 1, "packed6_pipe2": 2,
+                      "packed6_pipe3": 3}.get(mode, 2)
+        if mode == "packed6":
+            while (pipe_depth > 1
+                   and (pipe_depth + 1) * band * chunk * 4 > 6 * 2 ** 20):
+                pipe_depth -= 1
         kernel = _band_kernel_pipelined_factory(chunk, band, u, with_extra,
                                                 pipe_depth)
     else:
+        pipe_depth = 1
         kernel = _band_kernel_factory(chunk, band, u, with_extra, packed,
                                       packed_idx, idx_bits)
 
