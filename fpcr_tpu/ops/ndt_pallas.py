@@ -182,9 +182,171 @@ def prepare_fused_tables(grid: NDTGrid,
     return FusedNDTTables(cellpk=cellpk, tab=tabT)
 
 
+def _fused_kernel_pipelined_factory(chunk: int, band: int, unroll: int,
+                                    voxel_size: float, d1d2: float,
+                                    d2: float, direct7: bool,
+                                    vpu_mask: bool, depth: int,
+                                    wsplit: int = 2):
+    """Software-pipelined fused kernel (``schedule='pipe*'``).
+
+    Same per-chunk math as the sequential kernel below, split into a
+    FRONT half (band DMA wait, neighborhood-mask matmul, chunk-anchored
+    feature build + h+m+l pack, Mahalanobis matmul) and a BACK half
+    (exp weights, weighted-moment extraction matmuls, count/Σq
+    reductions, output write), with the front running ``depth`` chunks
+    ahead through explicit VMEM rings (``depth + 1`` slots of the
+    [band, chunk] q/mask tiles and the [96, band] feature pack). Each
+    pipeline step hands Mosaic adjacent INDEPENDENT MXU work (chunk j's
+    mask/maha matmuls) and VPU work (chunk j−depth's exp/splits/
+    reductions) — the schedule that bought −4–16% on the morton band
+    matcher (BENCH_NOTES round-5 pipe A/Bs). Here it measured
+    FLAT-TO-SLOWER (10.71 → 10.77/10.81 ms/pass @1M): this kernel has
+    no argmin→extract serialization for the staging to break, so it is
+    opt-in A/B machinery, not the default. Outputs are bit-identical to
+    the sequential schedule (parity test in tests/test_ndt.py)."""
+    def kernel(*refs):
+        if vpu_mask:
+            (bases_ref, pk_ref, cqcell_ref, cqmono_ref,
+             tab_hbm, out_ref, tbuf, qring, mring, pring, tsem) = refs
+        else:
+            (bases_ref, pk_ref, cqcell_ref, cqmono_ref,
+             cell_hbm, tab_hbm, out_ref, cbuf, tbuf,
+             qring, mring, pring, csem, tsem) = refs
+        g = pl.program_id(0)
+
+        if not vpu_mask:
+            def c_dma(slot, j):
+                base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
+                return pltpu.make_async_copy(
+                    cell_hbm.at[:, pl.ds(base, band)], cbuf.at[slot],
+                    csem.at[slot])
+
+        def t_dma(slot, j):
+            base = pl.multiple_of(bases_ref[g * unroll + j], _ALIGN)
+            return pltpu.make_async_copy(
+                tab_hbm.at[:, pl.ds(base, band)], tbuf.at[slot],
+                tsem.at[slot])
+
+        if not vpu_mask:
+            c_dma(0, 0).start()
+        t_dma(0, 0).start()
+
+        nd = depth + 1
+        for j in range(unroll + depth):  # static: straight-line pipeline
+            if j < unroll:
+                # ---- FRONT: band in, mask + features + maha, staged
+                slot = j % 2
+                if j + 1 < unroll:
+                    if not vpu_mask:
+                        c_dma((j + 1) % 2, j + 1).start()
+                    t_dma((j + 1) % 2, j + 1).start()
+                if not vpu_mask:
+                    c_dma(slot, j).wait()
+                t_dma(slot, j).wait()
+
+                cols = pl.ds(j * chunk, chunk)
+                if not vpu_mask:
+                    dc = lax.dot_general(
+                        cbuf[slot], cqcell_ref[:, cols],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [band, chunk] exact integer |c_b − c_q|²
+
+                ci = g * unroll + j
+                pk = pk_ref[ci]
+                axis_mask = (1 << _AXIS_BITS) - 1
+                a0 = (((pk >> (2 * _AXIS_BITS)) & axis_mask)
+                      .astype(jnp.float32) + 0.5) * voxel_size
+                a1 = (((pk >> _AXIS_BITS) & axis_mask)
+                      .astype(jnp.float32) + 0.5) * voxel_size
+                a2 = ((pk & axis_mask).astype(jnp.float32)
+                      + 0.5) * voxel_size
+                tab = tbuf[slot]
+                mu0 = tab[0] - a0
+                mu1 = tab[1] - a1
+                mu2 = tab[2] - a2
+                s00, s01, s02 = tab[3], tab[4], tab[5]
+                s11, s12, s22 = tab[6], tab[7], tab[8]
+                valid = tab[9]
+                sm0 = s00 * mu0 + s01 * mu1 + s02 * mu2
+                sm1 = s01 * mu0 + s11 * mu1 + s12 * mu2
+                sm2 = s02 * mu0 + s12 * mu1 + s22 * mu2
+                msm = mu0 * sm0 + mu1 * sm1 + mu2 * sm2
+                feat = jnp.stack(
+                    [s00, s01, s02, s11, s12, s22, sm0, sm1, sm2, msm],
+                    axis=0)  # [10, band]
+                parts = _split3_trunc(feat)
+                zpad = jnp.zeros((_GROUP - _NFEAT, band), jnp.float32)
+                pring[j % nd] = jnp.concatenate(
+                    [jnp.concatenate([parts[p], zpad], axis=0)
+                     for p in _BPARTS], axis=0).astype(jnp.bfloat16)
+
+                qring[j % nd] = lax.dot_general(
+                    pring[j % nd], cqmono_ref[:, cols],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [band, chunk] Mahalanobis q
+
+                if vpu_mask:
+                    qc = cqcell_ref[:, cols]
+                    l1 = (jnp.abs(tab[10][:, None] - qc[0][None, :])
+                          + jnp.abs(tab[11][:, None] - qc[1][None, :])
+                          + jnp.abs(tab[12][:, None] - qc[2][None, :]))
+                    near = l1 < (1.5 if direct7 else 0.5)
+                else:
+                    near = dc < (1.5 if direct7 else 0.5)
+                mring[j % nd] = jnp.where(
+                    near, valid[:, None],
+                    jnp.zeros((band, chunk), jnp.float32))
+
+            if j >= depth:
+                # ---- BACK: weights + extraction for chunk j − depth
+                jp = j - depth
+                qm = qring[jp % nd]
+                maskf = mring[jp % nd]
+                pack = pring[jp % nd]
+                if d1d2 > 0.0:
+                    w = jnp.exp(jnp.minimum(-0.5 * d2 * qm, 0.0)
+                                + math.log(d1d2)) * maskf
+                else:
+                    w = jnp.zeros_like(qm)
+                if wsplit == 2:
+                    wh32 = _trunc_hi(w)
+                    whb = wh32.astype(jnp.bfloat16)
+                    wmb = (w - wh32).astype(jnp.bfloat16)
+                    ex = (lax.dot_general(
+                              pack, whb,
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+                          + lax.dot_general(
+                              pack, wmb,
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+                          )  # [96, chunk]
+                else:
+                    ex = lax.dot_general(
+                        pack, w.astype(jnp.bfloat16),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [96, chunk]
+                mom = (ex[0:_GROUP] + ex[_GROUP:2 * _GROUP]
+                       + ex[4 * _GROUP:5 * _GROUP])  # [16, chunk]
+
+                count = jnp.sum(maskf, axis=0)          # [chunk]
+                qsum = jnp.sum(maskf * qm, axis=0)      # [chunk]
+                out = jnp.concatenate([
+                    mom[0:_LANE_COUNT],
+                    count[None, :], qsum[None, :],
+                    jnp.zeros((_TAB_LANES - _LANE_QSUM - 1, chunk),
+                              jnp.float32),
+                ], axis=0)  # [16, chunk]
+                out_ref[pl.ds(jp, 1), :, :] = out[None, :, :]
+
+    return kernel
+
+
 def _fused_kernel_factory(chunk: int, band: int, unroll: int,
                           voxel_size: float, d1d2: float, d2: float,
-                          direct7: bool, vpu_mask: bool):
+                          direct7: bool, vpu_mask: bool, wsplit: int = 2):
     def kernel(*refs):
         if vpu_mask:
             (bases_ref, pk_ref, cqcell_ref, cqmono_ref,
@@ -300,25 +462,32 @@ def _fused_kernel_factory(chunk: int, band: int, unroll: int,
                             + math.log(d1d2)) * maskf
             else:  # degenerate mixture constants: every weight is zero
                 w = jnp.zeros_like(qm)
-            # h via exact bf16 truncation; the residual's ROUNDING cast
-            # is fine for m (any bf16 value is exact as an MXU input; the
-            # dropped tail is ≤2⁻¹⁷·w) and saves the second 3-op
-            # truncation of _split2_trunc
-            wh32 = _trunc_hi(w)
-            whb = wh32.astype(jnp.bfloat16)
-            wmb = (w - wh32).astype(jnp.bfloat16)
-
             # ---- weighted moment extraction: Σ_b w·[S, Sμ'] per query.
-            # w split h+m keeps every bf16 product exact; the feature pack
-            # is reused — groups (h)+(m)+(l) reconstruct f to ~2⁻²³.
-            ex = (lax.dot_general(
-                      pack, whb,
-                      dimension_numbers=(((1,), (0,)), ((), ())),
-                      preferred_element_type=jnp.float32)
-                  + lax.dot_general(
-                      pack, wmb,
-                      dimension_numbers=(((1,), (0,)), ((), ())),
-                      preferred_element_type=jnp.float32))  # [96, chunk]
+            # wsplit=2 (default): w split h (exact bf16 truncation) + m
+            # (rounding cast of the residual — any bf16 value is exact as
+            # an MXU input; the dropped tail is ≤2⁻¹⁷·w), keeping every
+            # bf16 product exact; the feature pack is reused — groups
+            # (h)+(m)+(l) reconstruct f to ~2⁻²³. wsplit=1: single
+            # rounded-bf16 w matmul — drops one K=band MXU pass (25% of
+            # the kernel's tile-ops) and the truncation VPU work for
+            # ~2⁻⁹ relative moment error (opt-in, A/B-gated).
+            if wsplit == 2:
+                wh32 = _trunc_hi(w)
+                whb = wh32.astype(jnp.bfloat16)
+                wmb = (w - wh32).astype(jnp.bfloat16)
+                ex = (lax.dot_general(
+                          pack, whb,
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+                      + lax.dot_general(
+                          pack, wmb,
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32))  # [96, chunk]
+            else:
+                ex = lax.dot_general(
+                    pack, w.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [96, chunk]
             # f = groups 0 (h) + 1 (m) + 4 (l) under _BPARTS
             mom = (ex[0:_GROUP] + ex[_GROUP:2 * _GROUP]
                    + ex[4 * _GROUP:5 * _GROUP])  # [16, chunk]
@@ -338,7 +507,8 @@ def _fused_kernel_factory(chunk: int, band: int, unroll: int,
 @functools.partial(
     jax.jit,
     static_argnames=("voxel_size", "d1", "d2", "neighborhood", "chunk",
-                     "window", "unroll", "interpret", "mask"))
+                     "window", "unroll", "interpret", "mask", "schedule",
+                     "wsplit"))
 def ndt_fused_moments(
     points: jnp.ndarray,
     grid: NDTGrid,
@@ -354,6 +524,8 @@ def ndt_fused_moments(
     interpret: Optional[bool] = None,
     source_mask: Optional[jnp.ndarray] = None,
     mask: str = "matmul",
+    schedule: str = "auto",
+    wsplit: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-query direct7 GN moments in one kernel pass.
 
@@ -362,11 +534,32 @@ def ndt_fused_moments(
     the query in its chunk's anchor frame (μ′ shares the same anchor, so
     ``Σ_b w S_b r_b = WS·x′ − WSμ′`` exactly — models/ndt.py consumes
     this). ``points`` rows must be voxel-key-coherent (``cell_key_order``).
+
+    ``schedule`` picks the kernel schedule: ``'auto'``/``'seq'``
+    (default) is the double-buffered per-chunk chain;
+    ``'pipe'``/``'pipe2'``/``'pipe3'`` pin an explicit software-pipeline
+    stage depth (front = mask/features/maha, back = weights/extraction,
+    staged through VMEM rings — bit-identical outputs, parity-tested).
+    The pipeline measured flat-to-slower on hardware at the production
+    geometry (BENCH_NOTES §NDT schedule), so unlike the morton matcher
+    it is NOT the default — the modes remain for future A/B at other
+    geometries.
+
+    ``wsplit`` picks the weight precision of the extraction matmuls:
+    2 (default) splits w into exact h+m bf16 parts (two K=band MXU
+    passes, moments good to ~2⁻²³); 1 uses a single rounded-bf16 w
+    pass — 25% fewer MXU tile-ops and no truncation VPU work, at
+    ~2⁻⁹ relative moment error (opt-in; GN convergence is tested but
+    strict moment parity vs the gather path is not preserved).
     """
     if neighborhood not in ("direct1", "direct7"):
         raise ValueError(f"unknown neighborhood {neighborhood!r}")
     if mask not in ("vpu", "matmul"):
         raise ValueError(f"unknown mask {mask!r}")
+    if schedule not in ("auto", "seq", "pipe", "pipe2", "pipe3"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if wsplit not in (1, 2):
+        raise ValueError(f"wsplit must be 1 or 2, got {wsplit!r}")
     if mask == "matmul" and tables.cellpk is None:
         raise ValueError("mask='matmul' needs tables built with "
                          "prepare_fused_tables(grid, mask='matmul')")
@@ -467,16 +660,61 @@ def ndt_fused_moments(
         interpret = jax.devices()[0].platform != "tpu"
 
     vpu_mask = mask == "vpu"
-    kernel = _fused_kernel_factory(chunk, band, u, hs, d1d2, float(d2),
-                                   neighborhood == "direct7", vpu_mask)
+
+    # ---- schedule selection. The pipelined kernel stages (depth+1)
+    # slots of the [band, chunk] q/mask tiles plus the [96, band]
+    # feature pack in VMEM rings (`_staged` below); it is opt-in only —
+    # the hardware A/B picked the sequential schedule for 'auto' (see
+    # the comment on the else branch).
+    out_bytes = num_chunks * _TAB_LANES * chunk * 4
+    cbuf_bytes = 0 if vpu_mask else 2 * 96 * band * 2
+    base_budget = max(
+        cbuf_bytes + 2 * _TAB_LANES * band * 4
+        + (5 * band * chunk * 4) // 2
+        + 4 * (96 * u * chunk * 2) + 2 * u * _TAB_LANES * chunk * 4
+        # 2.5 MiB misc headroom: Mosaic's actual scoped need measured
+        # 60 KiB past the old 2 MiB term at (band 1408, chunk 512, u 1)
+        # on v5e — the wide-plane smoke scene's escalated window
+        + 5 * 1024 * 1024 // 2,
+        8 * 1024 * 1024)
+
+    def _staged(depth):
+        return (depth + 1) * (2 * band * chunk * 4 + _PACKED2 * band * 2)
+
+    if schedule in ("pipe", "pipe2", "pipe3"):
+        pipe_depth = {"pipe": 1, "pipe2": 2, "pipe3": 3}[schedule]
+    else:  # 'seq' and 'auto': the hardware A/B measured the pipeline
+        # FLAT-TO-SLOWER here (seq 10.71 / pipe 10.77 / pipe2 10.81
+        # ms/pass @1M, production window 256 chunk 512 — BENCH_NOTES
+        # §NDT schedule): unlike the matcher band kernel there is no
+        # argmin→extract serialization to break — Mosaic already
+        # overlaps the independent unrolled chunks — so staging only
+        # adds VMEM traffic. 'auto' therefore resolves to the
+        # sequential schedule; pipe modes stay opt-in for A/B.
+        pipe_depth = 0
+
+    if pipe_depth:
+        kernel = _fused_kernel_pipelined_factory(
+            chunk, band, u, hs, d1d2, float(d2),
+            neighborhood == "direct7", vpu_mask, pipe_depth, wsplit)
+    else:
+        kernel = _fused_kernel_factory(chunk, band, u, hs, d1d2, float(d2),
+                                       neighborhood == "direct7", vpu_mask,
+                                       wsplit)
     in_specs = [
         pl.BlockSpec((cqcell.shape[0], u * chunk), lambda g, *_: (0, g),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((_PACKED2, u * chunk), lambda g, *_: (0, g),
                      memory_space=pltpu.VMEM),
     ]
+    ring = ([
+        pltpu.VMEM((pipe_depth + 1, band, chunk), jnp.float32),   # qring
+        pltpu.VMEM((pipe_depth + 1, band, chunk), jnp.float32),   # mring
+        pltpu.VMEM((pipe_depth + 1, _PACKED2, band), jnp.bfloat16),
+    ] if pipe_depth else [])
     scratch = [
         pltpu.VMEM((2, _TAB_LANES, band), jnp.float32),
+        *ring,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     operands = [cqcell, cqmono]
@@ -510,17 +748,8 @@ def ndt_fused_moments(
     # runs at band 1664 where 8 naive temporaries would be 27 MiB).
     # When the escalated window pushes internals past the output size,
     # promotion can't be blocked — fund both instead (correct, slower).
-    out_bytes = num_chunks * _TAB_LANES * chunk * 4
-    cbuf_bytes = 0 if vpu_mask else 2 * 96 * band * 2
-    vmem_budget = max(
-        cbuf_bytes + 2 * _TAB_LANES * band * 4
-        + (5 * band * chunk * 4) // 2
-        + 4 * (96 * u * chunk * 2) + 2 * u * _TAB_LANES * chunk * 4
-        # 2.5 MiB misc headroom: Mosaic's actual scoped need measured
-        # 60 KiB past the old 2 MiB term at (band 1408, chunk 512, u 1)
-        # on v5e — the wide-plane smoke scene's escalated window
-        + 5 * 1024 * 1024 // 2,
-        8 * 1024 * 1024)
+    vmem_budget = base_budget + _staged(pipe_depth) if pipe_depth \
+        else base_budget
     if vmem_budget >= out_bytes:
         vmem_budget = min(vmem_budget + out_bytes, 100 * 1024 * 1024)
     (rows,) = pl.pallas_call(

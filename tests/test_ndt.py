@@ -389,6 +389,85 @@ def test_fused_mask_modes_bit_identical():
     assert outs["vpu"][0][:, 10].max() >= 5
 
 
+def test_fused_schedules_bit_identical():
+    """The software-pipelined fused schedules ('pipe'..'pipe3') stage the
+    front half (mask/features/maha) through VMEM rings but compute the
+    SAME per-chunk math as 'seq' — rows must be bit-identical at every
+    depth, including depth > per-group unroll (the ramp-down edge) and
+    the structural-miss/boundary rows of the mask-parity scene."""
+    from fpcr_tpu.ops.ndt import cell_key_order, gauss_d1_d2
+    from fpcr_tpu.ops.ndt_pallas import (ndt_fused_moments,
+                                         prepare_fused_tables)
+
+    rng = np.random.default_rng(32)
+    pts = rng.uniform(0, 2.0, (4096, 3)).astype(np.float32)
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    src_np = pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)
+    src_np[:64] -= 3.0
+    src_np[64:128, 0] = -0.1
+    src = jnp.asarray(src_np)
+    src = jnp.take(src, cell_key_order(src, grid), axis=0)
+    smask = jnp.arange(src.shape[0]) != 100
+    d1f, d2f = gauss_d1_d2(0.55, 0.25)
+    d1f = abs(d1f)
+    tables = prepare_fused_tables(grid)
+
+    def run(sched, unroll):
+        rows, xp = ndt_fused_moments(
+            src, grid, tables, voxel_size=0.25, d1=d1f, d2=d2f,
+            chunk=256, window=256, unroll=unroll, source_mask=smask,
+            schedule=sched)
+        return np.asarray(rows), np.asarray(xp)
+
+    ref = run("seq", 4)
+    assert ref[0][:, 10].max() >= 5  # real hits, not vacuous agreement
+    for sched in ("pipe", "pipe2", "pipe3", "auto"):
+        for unroll in (1, 2, 4):  # depth ≥ unroll exercises the ramp-down
+            got = run(sched, unroll)
+            np.testing.assert_array_equal(ref[0], got[0])
+            np.testing.assert_array_equal(ref[1], got[1])
+
+
+def test_fused_wsplit1_close():
+    """wsplit=1 sends a single rounded-bf16 weight matmul instead of the
+    exact h+m split — moments must agree to the bf16 rounding scale
+    (~2⁻⁹ relative of the weighted-feature magnitudes), while the
+    count/qsum lanes (pure VPU reductions, no w matmul) stay
+    bit-identical. Pipelined schedules share the same back-half code
+    path and must match their seq counterpart exactly."""
+    from fpcr_tpu.ops.ndt import cell_key_order, gauss_d1_d2
+    from fpcr_tpu.ops.ndt_pallas import (ndt_fused_moments,
+                                         prepare_fused_tables)
+
+    rng = np.random.default_rng(33)
+    pts = rng.uniform(0, 2.0, (4096, 3)).astype(np.float32)
+    grid = build_ndt_grid(jnp.asarray(pts), 0.25)
+    src = jnp.asarray(
+        pts + rng.normal(0, 0.02, pts.shape).astype(np.float32))
+    src = jnp.take(src, cell_key_order(src, grid), axis=0)
+    d1f, d2f = gauss_d1_d2(0.55, 0.25)
+    d1f = abs(d1f)
+    tables = prepare_fused_tables(grid)
+
+    def run(wsplit, sched="seq"):
+        rows, _ = ndt_fused_moments(
+            src, grid, tables, voxel_size=0.25, d1=d1f, d2=d2f,
+            chunk=256, window=256, unroll=2, schedule=sched,
+            wsplit=wsplit)
+        return np.asarray(rows)
+
+    ref, got = run(2), run(1)
+    assert ref[:, 10].max() >= 5
+    # count + qsum lanes bypass the extraction matmul entirely
+    np.testing.assert_array_equal(ref[:, 10:12], got[:, 10:12])
+    # moment lanes: bf16-rounded w → ~2⁻⁹ relative of the row scale
+    scale = np.abs(ref[:, :10]).max(axis=1, keepdims=True) + 1e-30
+    np.testing.assert_allclose(got[:, :10] / scale, ref[:, :10] / scale,
+                               atol=5e-3)
+    assert (ref[:, :10] != got[:, :10]).any()  # a REAL precision change
+    np.testing.assert_array_equal(run(1, "pipe2"), got)
+
+
 def test_run_ndt_fused_registers():
     """Full NDT loop on the fused Pallas moments (interpret mode)."""
     scene = f.synthetic_scene(width=48)
